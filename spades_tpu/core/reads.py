@@ -1,0 +1,99 @@
+"""Fixed-shape read batches for device processing.
+
+The reference streams variable-length reads through C++ iterators
+(`/root/reference/src/common/io/reads/*`); on TPU everything under `jit` needs
+static shapes, so reads are materialized as padded (R, L) uint8 code matrices
+plus a length vector and an N-position mask.  This mirrors the role of the
+reference's binary read chunks (`io/reads/binary_converter.hpp:29`): a one-time
+host-side conversion into a packed, device-friendly layout that every later
+stage consumes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from . import dna
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class ReadBatch:
+    """A batch of reads as fixed-shape arrays.
+
+    codes:   (R, L) uint8 in {0..3}; N positions are stored as 0 but flagged.
+    lengths: (R,)  int32 true read lengths (<= L).
+    n_mask:  (R, L) bool, True where the original base was not ACGT.
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    n_mask: np.ndarray
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def max_len(self) -> int:
+        return int(self.codes.shape[1])
+
+    @classmethod
+    def from_sequences(
+        cls,
+        seqs: Sequence[str | bytes | np.ndarray],
+        pad_len_to: int = 8,
+        pad_reads_to: int = 8,
+    ) -> "ReadBatch":
+        if len(seqs) == 0:
+            L = pad_len_to
+            return cls(
+                codes=np.zeros((0, L), np.uint8),
+                lengths=np.zeros((0,), np.int32),
+                n_mask=np.zeros((0, L), bool),
+            )
+        encoded = [
+            s if isinstance(s, np.ndarray) else dna.encode(s) for s in seqs
+        ]
+        L = _round_up(max((len(e) for e in encoded), default=1) or 1, pad_len_to)
+        R = _round_up(len(encoded), pad_reads_to)
+        codes = np.zeros((R, L), np.uint8)
+        n_mask = np.zeros((R, L), bool)
+        lengths = np.zeros((R,), np.int32)
+        for i, e in enumerate(encoded):
+            n = len(e)
+            lengths[i] = n
+            nm = e >= dna.NCODE
+            codes[i, :n] = np.where(nm, 0, e)
+            n_mask[i, :n] = nm
+        return cls(codes=codes, lengths=lengths, n_mask=n_mask)
+
+    def sequences(self) -> list[str]:
+        out = []
+        for i in range(self.num_reads):
+            n = int(self.lengths[i])
+            c = self.codes[i, :n].astype(np.uint8).copy()
+            c[self.n_mask[i, :n]] = dna.NCODE
+            out.append(dna.decode(c))
+        return out
+
+
+def batch_iter(
+    seq_iter: Iterable[str | bytes],
+    batch_size: int = 65536,
+    pad_len_to: int = 8,
+) -> Iterable[ReadBatch]:
+    """Group a sequence stream into fixed-size ReadBatches."""
+    buf: list = []
+    for s in seq_iter:
+        buf.append(s)
+        if len(buf) >= batch_size:
+            yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
+            buf = []
+    if buf:
+        yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)

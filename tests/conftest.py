@@ -1,0 +1,55 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh (no TPU needed).
+
+Mirrors the reference's CI pattern of simulating multi-node with N MPI ranks
+on one machine (SURVEY.md §4): multi-chip sharding is validated on
+xla_force_host_platform_device_count virtual devices.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_TEST_DATASET = "/root/reference/src/projects/spades/test_dataset"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def random_dna(rng, n: int) -> str:
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+@pytest.fixture(scope="session")
+def ecoli_1k_reads():
+    """The bundled --test paired-end reads from the reference, if present."""
+    import os.path as osp
+
+    p1 = osp.join(REFERENCE_TEST_DATASET, "ecoli_1K_1.fq.gz")
+    p2 = osp.join(REFERENCE_TEST_DATASET, "ecoli_1K_2.fq.gz")
+    if not (osp.exists(p1) and osp.exists(p2)):
+        pytest.skip("reference test dataset not available")
+    from spades_tpu.io.fastx import read_sequences
+
+    return list(read_sequences([p1, p2]))
+
+
+@pytest.fixture(scope="session")
+def ecoli_1k_reference():
+    import os.path as osp
+
+    p = osp.join(REFERENCE_TEST_DATASET, "reference_1K.fa.gz")
+    if not osp.exists(p):
+        pytest.skip("reference test dataset not available")
+    from spades_tpu.io.fastx import read_sequences
+
+    return next(iter(read_sequences(p)))

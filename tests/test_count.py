@@ -1,0 +1,91 @@
+"""K-mer counting engine vs a brute-force Python oracle."""
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from spades_tpu.core import dna
+from spades_tpu.core import kmers as K
+from spades_tpu.ops import count as C
+from tests.conftest import random_dna
+
+
+def brute_count(seqs, k):
+    ctr = Counter()
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            w = s[i : i + k]
+            if "N" in w:
+                continue
+            ctr[min(w, dna.revcomp_str(w))] += 1
+    return ctr
+
+
+def counts_to_dict(kc: C.KmerCounts):
+    out = {}
+    for row, c in zip(kc.words, kc.counts):
+        out[dna.decode(K.unpack(row[None], kc.k)[0])] = int(c)
+    return out
+
+
+@pytest.mark.parametrize("k", [5, 17, 21, 33, 55])
+def test_count_matches_brute(rng, k):
+    seqs = [random_dna(rng, 60 + int(rng.integers(0, 41))) for _ in range(30)]
+    seqs[7] = seqs[7][:20] + "N" + seqs[7][21:]
+    kc = C.count_sequences(seqs, k)
+    expect = brute_count(seqs, k)
+    got = counts_to_dict(kc)
+    assert got == dict(expect)
+    # sortedness invariant
+    assert np.all(np.asarray(C._lexsort_rows(kc.words)) == np.arange(kc.num_unique))
+
+
+def test_multi_batch_merge_equals_single(rng):
+    k = 21
+    seqs = [random_dna(rng, 100) for _ in range(40)]
+    kc1 = C.count_sequences(seqs, k, batch_size=7)
+    kc2 = C.count_sequences(seqs, k, batch_size=10_000)
+    np.testing.assert_array_equal(kc1.words, kc2.words)
+    np.testing.assert_array_equal(kc1.counts, kc2.counts)
+
+
+def test_searchsorted_rows(rng):
+    k = 21
+    seqs = [random_dna(rng, 100) for _ in range(10)]
+    kc = C.count_sequences(seqs, k)
+    idx = C.searchsorted_rows(kc.words, kc.words)
+    np.testing.assert_array_equal(idx, np.arange(kc.num_unique))
+    # absent needles -> -1 (use k-mers from fresh random sequences)
+    other = C.count_sequences([random_dna(rng, 200)], k)
+    mask_present = C.searchsorted_rows(kc.words, other.words) >= 0
+    expect_present = np.array(
+        [w in counts_to_dict(kc) for w in counts_to_dict(other)]
+    )
+    np.testing.assert_array_equal(mask_present, expect_present)
+
+
+def test_count_on_ecoli_1k(ecoli_1k_reads, ecoli_1k_reference):
+    """The real --test dataset: most genome 21-mers should be present."""
+    k = 21
+    kc = C.count_sequences(ecoli_1k_reads, k)
+    genome = brute_count([ecoli_1k_reference], k)
+    got = counts_to_dict(kc)
+    present = sum(1 for g in genome if g in got)
+    assert present / len(genome) > 0.99
+    expected_total = sum(
+        sum(
+            1
+            for i in range(len(s) - k + 1)
+            if "N" not in s[i : i + k]
+        )
+        for s in ecoli_1k_reads
+    )
+    assert kc.total == expected_total
+
+
+def test_no_valid_kmers():
+    """All-N / empty inputs must yield an empty count, not crash (verify probe)."""
+    kc = C.count_sequences(["N" * 50], 21)
+    assert kc.num_unique == 0 and kc.total == 0
+    kc = C.count_sequences([], 21)
+    assert kc.num_unique == 0
