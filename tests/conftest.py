@@ -6,7 +6,9 @@ xla_force_host_platform_device_count virtual devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may pin JAX_PLATFORMS=axon (live TPU);
+# unit tests want the fast virtual multi-device CPU backend.
+os.environ["JAX_PLATFORMS"] = os.environ.get("SPADES_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
