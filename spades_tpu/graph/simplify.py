@@ -1,0 +1,280 @@
+"""Graph simplification: tip clipping, bulge removal, erroneous-connection
+removal, isolated-edge cleaning — as vectorized masked passes.
+
+Capability mirror of the reference's simplification module
+(`/root/reference/src/common/modules/simplification/`):
+
+* TipClipper — `tip_clipper.hpp:23-59` TipCondition (an endpoint vertex of
+  total degree 1, with an alternative at the other end), LengthUpperBound
+  (tc_lb semantics: max_tip_length = max(min(k, RL/2)*tc_lb, RL)),
+  CoverageUpperBound, RelativeCoverageTipCondition (rctc).
+* BulgeRemover — `bulge_remover.hpp:346,400`; this pass handles simple bulges
+  (parallel edges between the same vertex pair) with the reference's length /
+  delta / relative-coverage gates, projecting ("gluing") removed-arm coverage
+  onto the survivor; Dijkstra path alternatives are a planned extension.
+* LowCoverageECRemover — `erroneous_connection_remover.hpp:1-635` basic
+  condition: short (<= k + ec_lb), low-coverage, and "alternatively reachable"
+  (start has other outgoing, end has other incoming).
+* IsolatedEdgeRemover — `simplification.cpp` init_clean.ier: single-edge
+  components shorter than the read length.
+
+The iteration schedule mirrors `stages/simplification.cpp:405-429`: up to
+`cycle_iter_count` rounds of TC -> BR -> EC with the EC/TC coverage bound
+ramped linearly ("iterative threshold"), followed by a final cleanup, with
+compression (graph/compress.py) after every mutating pass.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .compress import compress
+from .coverage_model import GenomicInfo
+from .graph import CondensedGraph
+
+
+@dataclass
+class SimplifyConfig:
+    read_length: int = 100
+    cycle_iter_count: int = 10
+    # tip clipper: {tc_lb 3.5, cb 1000000, rctc 2.0} {tc_lb 10, cb auto}
+    tc_lb: float = 3.5
+    tc_lb_alt: float = 10.0
+    rctc: float = 2.0
+    # bulge remover
+    br_enabled: bool = True
+    max_bulge_length_coeff: float = 3.0
+    max_additive_length_coeff: float = 100.0
+    max_relative_coverage: float = 1.1
+    max_delta: float = 3.0
+    max_relative_delta: float = 0.1
+    # erroneous connection remover: {to_ec_lb 5, icb auto}
+    ec_lb: float = 10.0
+    # isolated edge remover
+    ier_enabled: bool = True
+
+
+def max_tip_length(cfg: SimplifyConfig, k: int, lb: float) -> int:
+    """Reference formula (simplification.info:43)."""
+    return int(max(min(k, cfg.read_length / 2) * lb, cfg.read_length))
+
+
+def _degrees(g: CondensedGraph):
+    outd = g.out_degrees()
+    ind = g.in_degrees()
+    return outd, ind
+
+
+def _max_competitor_cov(g: CondensedGraph) -> np.ndarray:
+    """For each alive edge: max coverage among non-loop edges sharing its
+    start vertex (outgoing) or end vertex (incoming), excluding itself.
+
+    Vectorized version of RelativeCoverageTipCondition::MaxCompetitorCoverage.
+    """
+    V = g.num_vertices
+    ids = g.alive_edge_ids()
+    cov = g.coverage()
+    not_loop = g.e_start[ids] != g.e_end[ids]
+    c = np.where(not_loop, cov[ids], 0.0)
+
+    def two_best(keys):
+        best = np.zeros(V)
+        second = np.zeros(V)
+        order = np.argsort(c, kind="stable")
+        for e, cv in zip(ids[order], c[order]):
+            vk = keys[e]
+            if cv >= best[vk]:
+                second[vk] = best[vk]
+                best[vk] = cv
+            elif cv > second[vk]:
+                second[vk] = cv
+        return best, second
+
+    # max over competitors = best at the vertex unless self is the best
+    out_best, out_second = two_best(g.e_start)
+    in_best, in_second = two_best(g.e_end)
+    res = np.zeros(g.alive.shape[0])
+    cself = np.where(not_loop, cov[ids], -1.0)
+    o = np.where(cself >= out_best[g.e_start[ids]], out_second[g.e_start[ids]], out_best[g.e_start[ids]])
+    i = np.where(cself >= in_best[g.e_end[ids]], in_second[g.e_end[ids]], in_best[g.e_end[ids]])
+    res[ids] = np.maximum(o, i)
+    return res
+
+
+def clip_tips(
+    g: CondensedGraph,
+    max_len: int,
+    cov_bound: float = np.inf,
+    rctc: float | None = None,
+) -> int:
+    """One tip-clipping pass; returns number of (oriented) edges removed."""
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    outd, ind = _degrees(g)
+    s, e = g.e_start[ids], g.e_end[ids]
+    # TipCondition::Check (tip_clipper.hpp): one endpoint has total degree 1
+    # and there is an alternative at the junction end
+    end_is_dead = (outd[e] + ind[e]) == 1
+    start_is_dead = (outd[s] + ind[s]) == 1
+    topo = (end_is_dead | start_is_dead) & ((outd[s] + ind[e]) > 2)
+    length_ok = g.edge_kmer_lengths()[ids] <= max_len
+    cov = g.coverage()
+    cov_ok = cov[ids] <= cov_bound
+    cond = topo & length_ok & cov_ok
+    if rctc is not None:
+        comp = _max_competitor_cov(g)
+        cond &= cov[ids] <= rctc * (comp[ids] + 1.0)
+    kill = ids[cond]
+    return g.kill_edges(kill)
+
+
+def remove_bulges(g: CondensedGraph, cfg: SimplifyConfig) -> int:
+    """Simple-bulge pass: parallel edges between the same vertices.
+
+    Removes the lower-coverage arm when lengths agree within delta and its
+    coverage is below max_relative_coverage * survivor coverage; the removed
+    arm's coverage is projected onto the survivor (the reference's glue).
+    """
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    k = g.k
+    max_len = int(cfg.max_bulge_length_coeff * k + cfg.max_additive_length_coeff)
+    lens = g.edge_kmer_lengths()
+    cov = g.coverage()
+    # group alive edges by (start, end)
+    s, e = g.e_start[ids], g.e_end[ids]
+    grp = s * np.int64(g.num_vertices) + e
+    order = np.argsort(grp, kind="stable")
+    oid = ids[order]
+    og = grp[order]
+    removed = 0
+    i = 0
+    n = len(oid)
+    killed = set()
+    while i < n:
+        j = i
+        while j < n and og[j] == og[i]:
+            j += 1
+        if j - i >= 2:
+            members = [x for x in oid[i:j] if x not in killed and g.alive[x]]
+            members = [x for x in members if g.e_start[x] != g.e_end[x]]
+            members.sort(key=lambda x: (-cov[x], lens[x]))
+            for x in members[1:]:
+                keep = members[0]
+                if int(keep) == int(g.e_conj[x]):
+                    continue
+                delta = max(cfg.max_delta, cfg.max_relative_delta * lens[keep])
+                if (
+                    lens[x] <= max_len
+                    and abs(int(lens[x]) - int(lens[keep])) <= delta
+                    and cov[x] <= cfg.max_relative_coverage * cov[keep]
+                ):
+                    # project coverage onto the survivor, then remove
+                    g.e_cov[keep] += g.e_cov[x]
+                    g.e_cov[g.e_conj[keep]] += g.e_cov[x]
+                    removed += g.kill_edges(np.array([x]))
+                    killed.add(int(x))
+                    killed.add(int(g.e_conj[x]))
+        i = j
+    return removed
+
+
+def remove_low_cov_ec(g: CondensedGraph, max_len: int, cov_bound: float) -> int:
+    """Erroneous-connection pass: short, low-coverage, alternatively bridged."""
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    outd, ind = _degrees(g)
+    s, e = g.e_start[ids], g.e_end[ids]
+    cond = (
+        (g.edge_kmer_lengths()[ids] <= max_len)
+        & (g.coverage()[ids] < cov_bound)
+        & (outd[s] > 1)
+        & (ind[e] > 1)
+    )
+    return g.kill_edges(ids[cond])
+
+
+def remove_isolated(g: CondensedGraph, max_len: int, cov_bound: float = np.inf) -> int:
+    """Remove single-edge connected components (init_clean.ier semantics)."""
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    outd, ind = _degrees(g)
+    s, e = g.e_start[ids], g.e_end[ids]
+    isolated = (ind[s] == 0) & (outd[s] == 1) & (outd[e] == 0) & (ind[e] == 1)
+    # self-loops are not isolated tips
+    isolated &= s != e
+    cond = isolated & (g.edge_kmer_lengths()[ids] <= max_len) & (
+        g.coverage()[ids] <= cov_bound
+    )
+    return g.kill_edges(ids[cond])
+
+
+def remove_low_coverage_edges(g: CondensedGraph, cov_bound: float, max_len: int) -> int:
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    cond = (g.coverage()[ids] < cov_bound) & (g.edge_kmer_lengths()[ids] <= max_len)
+    return g.kill_edges(ids[cond])
+
+
+@dataclass
+class SimplifyStats:
+    tips: int = 0
+    bulges: int = 0
+    ec: int = 0
+    isolated: int = 0
+    iterations: int = 0
+
+
+def simplify(
+    g: CondensedGraph,
+    info: GenomicInfo | None = None,
+    cfg: SimplifyConfig | None = None,
+) -> tuple[CondensedGraph, SimplifyStats]:
+    """Full simplification schedule (simplification.cpp:405-429 shape)."""
+    cfg = cfg or SimplifyConfig()
+    stats = SimplifyStats()
+    k = g.k
+    auto_cb = info.ec_bound if info is not None else np.inf
+    ec_len = int(k + cfg.ec_lb)
+    tip_len_1 = max_tip_length(cfg, k, cfg.tc_lb)
+    tip_len_2 = max_tip_length(cfg, k, cfg.tc_lb_alt)
+
+    for it in range(cfg.cycle_iter_count):
+        stats.iterations = it + 1
+        # iterative coverage threshold ramp (icb auto semantics)
+        frac = (it + 1) / cfg.cycle_iter_count
+        icb = auto_cb * frac if np.isfinite(auto_cb) else np.inf
+        changed = 0
+        n = clip_tips(g, tip_len_1, cov_bound=1e6, rctc=cfg.rctc)
+        n += clip_tips(g, tip_len_2, cov_bound=auto_cb)
+        if n:
+            g = compress(g)
+        stats.tips += n
+        changed += n
+        if cfg.br_enabled:
+            n = remove_bulges(g, cfg)
+            if n:
+                g = compress(g)
+            stats.bulges += n
+            changed += n
+        n = remove_low_cov_ec(g, ec_len, icb)
+        if n:
+            g = compress(g)
+        stats.ec += n
+        changed += n
+        if changed == 0 and frac >= 1.0:
+            break
+        if changed == 0 and not np.isfinite(auto_cb):
+            break
+    if cfg.ier_enabled:
+        n = remove_isolated(g, cfg.read_length)
+        if n:
+            g = compress(g)
+        stats.isolated += n
+    return g, stats
