@@ -6,14 +6,20 @@ xla_force_host_platform_device_count virtual devices.
 """
 import os
 
-# Force CPU: the ambient environment may pin JAX_PLATFORMS=axon (live TPU);
-# unit tests want the fast virtual multi-device CPU backend.
-os.environ["JAX_PLATFORMS"] = os.environ.get("SPADES_TPU_TEST_PLATFORM", "cpu")
+# Force CPU: the ambient environment may pin JAX_PLATFORMS=axon (live TPU) and
+# jax may already be imported by sitecustomize, so update jax.config directly
+# (backends are initialized lazily, on first use — after this runs).
+_platform = os.environ.get("SPADES_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np
 import pytest
