@@ -1,0 +1,230 @@
+"""Top-level assembler CLI — the spades.py equivalent.
+
+Mirrors the reference's outer orchestration
+(`/root/reference/src/projects/spades/pipeline/spades.py:616-725` and
+`options_parser.py`): library options, assembly modes, K auto-selection,
+multi-K iteration with contig feed-forward, `--test` smoke contract,
+`--continue` / `--restart-from`, output directory layout (contigs.fasta,
+scaffolds.fasta, assembly_graph_with_scaffolds.gfa, per-K dirs, spades.log,
+params.txt).
+
+Unlike the reference there is no process boundary per stage: the whole
+pipeline runs in-process against the device, and per-K state is checkpointed
+through the stage manager.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+
+import numpy as np
+
+TEST_DATASET_DIR = "/root/reference/src/projects/spades/test_dataset"
+
+MODES = ("isolate", "multicell", "meta", "rna", "plasmid", "metaplasmid", "sc", "metaviral", "rnaviral", "corona", "bio", "sewage")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spades_tpu",
+        description="TPU-native de Bruijn graph assembler (SPAdes capability surface)",
+    )
+    inp = p.add_argument_group("input")
+    inp.add_argument("-1", dest="pe1", action="append", default=[], help="left paired-end reads")
+    inp.add_argument("-2", dest="pe2", action="append", default=[], help="right paired-end reads")
+    inp.add_argument("--12", dest="interlaced", action="append", default=[], help="interlaced paired reads")
+    inp.add_argument("-s", dest="single", action="append", default=[], help="unpaired reads")
+    inp.add_argument("--pacbio", action="append", default=[], help="PacBio CLR reads")
+    inp.add_argument("--nanopore", action="append", default=[], help="Oxford Nanopore reads")
+    inp.add_argument("--trusted-contigs", action="append", default=[], help="trusted contigs")
+    inp.add_argument("--untrusted-contigs", action="append", default=[], help="untrusted contigs")
+    inp.add_argument("--dataset", help="dataset description in YAML")
+    inp.add_argument("--test", action="store_true", help="run on the bundled E. coli 1K dataset and check the result")
+
+    out = p.add_argument_group("output")
+    out.add_argument("-o", dest="output_dir", help="output directory (required unless --test)")
+
+    modes = p.add_argument_group("modes")
+    for m in ("meta", "rna", "plasmid", "isolate", "sc", "metaviral", "rnaviral", "corona", "bio", "sewage", "metaplasmid"):
+        modes.add_argument(f"--{m}", action="store_true", help=f"{m} mode")
+    modes.add_argument("--careful", action="store_true", help="careful mode (mismatch correction)")
+    modes.add_argument("--only-assembler", action="store_true", help="skip read error correction")
+    modes.add_argument("--only-error-correction", action="store_true")
+
+    adv = p.add_argument_group("advanced")
+    adv.add_argument("-k", dest="k_list", help="comma-separated odd k values or 'auto'", default="auto")
+    adv.add_argument("-t", "--threads", type=int, default=16, help="accepted for parity")
+    adv.add_argument("-m", "--memory", type=int, default=250, help="accepted for parity (GB)")
+    adv.add_argument("--cov-cutoff", default="off", help="'off', 'auto' or float: (k+1)-mer count cutoff")
+    adv.add_argument("--phred-offset", type=int, default=None, help="accepted for parity")
+    adv.add_argument("--checkpoints", default="last", choices=("none", "last", "all"))
+    adv.add_argument("--continue", dest="cont", action="store_true", help="resume from the last checkpoint")
+    adv.add_argument("--restart-from", help="restart from stage id (k<K>:<stage> or 'last')")
+    adv.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    adv.add_argument("--disable-gzip-output", action="store_true")
+    adv.add_argument("-v", "--version", action="version", version="spades_tpu 0.1.0")
+    return p
+
+
+def detect_mode(args) -> str:
+    for m in ("meta", "rna", "plasmid", "metaplasmid", "sc", "metaviral", "rnaviral", "corona", "bio", "sewage", "isolate"):
+        if getattr(args, m, False):
+            return m
+    return "multicell"
+
+
+def load_dataset_yaml(path: str):
+    import yaml
+
+    with open(path) as fh:
+        data = yaml.safe_load(fh)
+    pe1, pe2, single, longs = [], [], [], []
+    for lib in data:
+        t = lib.get("type", "")
+        if t in ("paired-end", "mate-pairs", "hq-mate-pairs"):
+            pe1 += lib.get("left reads", [])
+            pe2 += lib.get("right reads", [])
+        elif t == "single":
+            single += lib.get("single reads", [])
+        elif t in ("pacbio", "nanopore"):
+            longs += lib.get("single reads", [])
+        elif t in ("trusted-contigs", "untrusted-contigs"):
+            single += lib.get("single reads", [])
+    return pe1, pe2, single, longs
+
+
+def setup_logging(output_dir: str) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    handlers = [
+        logging.StreamHandler(),
+        logging.FileHandler(os.path.join(output_dir, "spades.log")),
+    ]
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.test:
+        args.pe1 = [os.path.join(TEST_DATASET_DIR, "ecoli_1K_1.fq.gz")]
+        args.pe2 = [os.path.join(TEST_DATASET_DIR, "ecoli_1K_2.fq.gz")]
+        if not args.output_dir:
+            args.output_dir = "spades_test"
+    if not args.output_dir:
+        print("error: the output directory (-o) is required", file=sys.stderr)
+        return 64  # InvalidInputFormat family (support.py:39-59)
+    if args.dataset:
+        pe1, pe2, single, longs = load_dataset_yaml(args.dataset)
+        args.pe1 += pe1
+        args.pe2 += pe2
+        args.single += single
+        args.pacbio += longs
+    if not (args.pe1 or args.single or args.interlaced or args.dataset):
+        print("error: no input reads specified", file=sys.stderr)
+        return 64
+
+    setup_logging(args.output_dir)
+    log = logging.getLogger("spades_tpu")
+    mode = detect_mode(args)
+    log.info("spades_tpu 0.1.0, mode=%s, output=%s", mode, args.output_dir)
+
+    with open(os.path.join(args.output_dir, "params.txt"), "w") as fh:
+        fh.write(" ".join(argv if argv is not None else sys.argv) + "\n")
+        fh.write(f"mode={mode}\n")
+
+    from ..io.fastx import read_fastx, read_sequences
+    from ..pipeline.run import run_assembly
+
+    # --- load reads -----------------------------------------------------
+    reads: list[str] = []
+    paired_spans: list[tuple[int, int]] = []
+    for p1, p2 in zip(args.pe1, args.pe2):
+        r1 = [r.seq for r in read_fastx(p1)]
+        r2 = [r.seq for r in read_fastx(p2)]
+        if len(r1) != len(r2):
+            log.error("paired files %s / %s length mismatch", p1, p2)
+            return 64
+        start = len(reads)
+        reads += r1 + r2
+        paired_spans.append((start, len(r1)))
+    for p in args.interlaced:
+        rs = [r.seq for r in read_fastx(p)]
+        start = len(reads)
+        reads += rs
+        paired_spans.append((start, len(rs) // 2))
+    for p in args.single:
+        reads += [r.seq for r in read_fastx(p)]
+    long_reads = []
+    for p in args.pacbio + args.nanopore:
+        long_reads += [r.seq for r in read_fastx(p)]
+    trusted = []
+    for p in args.trusted_contigs + args.untrusted_contigs:
+        trusted += [r.seq for r in read_fastx(p)]
+    if not reads:
+        log.error("no reads parsed")
+        return 64
+
+    # --- k selection ----------------------------------------------------
+    rl = int(np.median([len(r) for r in reads]))
+    if args.k_list == "auto":
+        from .assembler import default_k_ladder
+
+        k_list = [k for k in default_k_ladder(rl) if k < rl]
+    else:
+        k_list = [int(x) for x in args.k_list.split(",")]
+        bad = [k for k in k_list if k % 2 == 0 or k >= 128]
+        if bad:
+            log.error("k values must be odd and < 128: %s", bad)
+            return 65
+    log.info("read length=%d, k ladder=%s", rl, k_list)
+
+    cov_cutoff = 0
+    if args.cov_cutoff not in ("off", "auto"):
+        cov_cutoff = int(float(args.cov_cutoff))
+
+    restart = "last" if args.cont else args.restart_from
+    result = run_assembly(
+        reads=reads,
+        k_list=k_list,
+        output_dir=args.output_dir,
+        mode=mode,
+        read_length=rl,
+        paired_spans=paired_spans,
+        long_reads=long_reads,
+        trusted_contigs=trusted,
+        min_count=max(cov_cutoff, 1),
+        checkpoints=args.checkpoints,
+        restart_from=restart,
+        careful=args.careful,
+    )
+
+    # --- --test oracle (check_test_script.py:58-76) ---------------------
+    if args.test:
+        contigs = result.contigs
+        ok = len(contigs) == 1 and len(contigs[0].seq) == 1000
+        if ok:
+            log.info("========= TEST PASSED CORRECTLY")
+        else:
+            log.error(
+                "TEST FAILED: got %d contigs, lengths %s",
+                len(contigs), [len(c.seq) for c in contigs],
+            )
+            return 1
+    log.info("======= spades_tpu finished. Results in %s", args.output_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

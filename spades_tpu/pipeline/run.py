@@ -1,0 +1,113 @@
+"""Multi-K pipeline runner with per-K stage managers and checkpoints.
+
+The outer loop mirrors `spades_pipeline/stages/spades_stage.py:282-396`
+(per-K IterationStage chain with additional_contigs feed-forward, then final
+copy) on top of the inner stage manager (pipeline/stages.py).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.simplify import SimplifyConfig
+from .spades_stages import Construction, ContigOutput, GenomicInfoFiller, Simplification
+from .stages import AssemblyContext, SavesPolicy, StageManager
+
+log = logging.getLogger("spades_tpu.run")
+
+
+@dataclass
+class RunResult:
+    contigs: list
+    scaffolds: list
+    graph: object
+    k: int
+
+
+def mode_simplify_config(mode: str, read_length: int) -> SimplifyConfig:
+    cfg = SimplifyConfig(read_length=read_length)
+    if mode == "meta":
+        # metaSPAdes: more aggressive relative-coverage handling, keep bulges
+        # conservative (meta_mode.info overlay semantics)
+        cfg.max_relative_coverage = 1.05
+        cfg.rctc = 2.0
+    elif mode == "rna":
+        cfg.tc_lb = 2.0
+        cfg.ier_enabled = False
+    elif mode in ("plasmid", "metaplasmid", "metaviral"):
+        cfg.ier_enabled = False  # keep short circular components
+    elif mode == "sc":
+        # single-cell: uneven MDA coverage — weaker coverage conditions
+        cfg.max_relative_coverage = 1.2
+    return cfg
+
+
+def run_assembly(
+    reads: list[str],
+    k_list: list[int],
+    output_dir: str,
+    mode: str = "multicell",
+    read_length: int = 100,
+    paired_spans: list | None = None,
+    long_reads: list | None = None,
+    trusted_contigs: list | None = None,
+    min_count: int = 1,
+    checkpoints: str = "last",
+    restart_from: str | None = None,
+    careful: bool = False,
+) -> RunResult:
+    os.makedirs(output_dir, exist_ok=True)
+    prev_contigs: list[str] = list(trusted_contigs or [])
+    result: RunResult | None = None
+
+    # restart addressing: "k<K>:<stage>", bare "<stage>" (first K), or "last"
+    restart_k = None
+    restart_stage = restart_from
+    if restart_from and restart_from not in (None, "last") and restart_from.startswith("k"):
+        kpart, _, spart = restart_from.partition(":")
+        restart_k = int(kpart[1:])
+        restart_stage = spart or None
+
+    for ki, k in enumerate(k_list):
+        kdir = os.path.join(output_dir, f"K{k}")
+        os.makedirs(kdir, exist_ok=True)
+        ctx = AssemblyContext(
+            k=k,
+            output_dir=kdir,
+            reads=[r for r in reads if len(r) > k],
+            extra_sequences=list(prev_contigs),
+            read_length=read_length,
+        )
+        mgr = StageManager(SavesPolicy(checkpoints))
+        mgr.add(
+            Construction(min_count=min_count),
+            GenomicInfoFiller(),
+            Simplification(mode_simplify_config(mode, read_length)),
+            ContigOutput(),
+        )
+        start = None
+        if restart_from == "last":
+            start = "last"
+        elif restart_k is not None:
+            if k < restart_k:
+                start = "last"  # fully resume earlier K from its checkpoint
+            elif k == restart_k:
+                start = restart_stage
+        mgr.run(ctx, start_from=start)
+        prev_contigs = [c.seq for c in ctx.contigs]
+        result = RunResult(
+            contigs=ctx.contigs, scaffolds=ctx.scaffolds, graph=ctx.graph, k=k
+        )
+
+    assert result is not None
+    # final copy (copy_files semantics): last K products to the output root
+    last_kdir = os.path.join(output_dir, f"K{result.k}")
+    for f in ("contigs.fasta", "scaffolds.fasta", "assembly_graph_with_scaffolds.gfa"):
+        src = os.path.join(last_kdir, f)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(output_dir, f))
+    return result

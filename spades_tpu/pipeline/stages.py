@@ -1,0 +1,172 @@
+"""Stage pipeline runtime: stages, manager, checkpoints, restart.
+
+Capability mirror of the reference's stage framework
+(`/root/reference/src/common/pipeline/stage.hpp:26-274`: `AssemblyStage` with
+run/load/save, `StageManager::run` with checkpoint save/restore and
+`--restart-from` addressing, `SavesPolicy` none/all/last + checkpoint
+pointer), merged with the outer Python done-file mechanism
+(`spades_pipeline/executors/executor_local.py`).
+
+State lives in an `AssemblyContext` (the GraphPack analog,
+`pipeline/graph_pack.hpp:19`): a typed blackboard the stages read and write.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable
+
+import numpy as np
+
+log = logging.getLogger("spades_tpu.stages")
+
+
+class SavesPolicy(str, Enum):
+    NONE = "none"
+    LAST = "last"
+    ALL = "all"
+
+
+@dataclass
+class AssemblyContext:
+    """Typed blackboard shared by stages (GraphPack analog)."""
+
+    k: int
+    output_dir: str
+    reads: list = field(default_factory=list)          # short-read sequences
+    paired: list = field(default_factory=list)         # (left, right) index pairs
+    long_reads: list = field(default_factory=list)
+    extra_sequences: list = field(default_factory=list)  # prev-K contigs etc.
+    graph: Any = None                                   # CondensedGraph
+    p1_counts: Any = None                               # KmerCounts of (k+1)-mers
+    genomic_info: Any = None
+    contigs: list = field(default_factory=list)
+    scaffolds: list = field(default_factory=list)
+    read_length: int = 100
+    insert_size: float = 0.0
+    config: Any = None
+
+    def saves_dir(self, stage_id: str) -> str:
+        return os.path.join(self.output_dir, "saves", stage_id)
+
+
+class AssemblyStage:
+    """Base stage: subclass and implement run(); optionally save/load."""
+
+    name = "stage"
+    id = "stage"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        raise NotImplementedError
+
+    def save(self, ctx: AssemblyContext, path: str) -> None:
+        """Default checkpoint: graph + contigs + genomic info, if present."""
+        os.makedirs(path, exist_ok=True)
+        from ..graph.serialize import save_graph
+
+        if ctx.graph is not None:
+            save_graph(os.path.join(path, "graph.npz"), ctx.graph)
+        state = {
+            "k": ctx.k,
+            "read_length": ctx.read_length,
+            "insert_size": ctx.insert_size,
+            "contigs": [(c.name, c.seq, c.coverage) for c in ctx.contigs],
+            "scaffolds": [(c.name, c.seq, c.coverage) for c in ctx.scaffolds],
+        }
+        if ctx.genomic_info is not None:
+            gi = ctx.genomic_info
+            state["genomic_info"] = {
+                "ec_bound": gi.ec_bound,
+                "trusted_bound": gi.trusted_bound,
+                "estimated_mean": gi.estimated_mean,
+                "genome_size": gi.genome_size,
+            }
+        with open(os.path.join(path, "state.json"), "w") as fh:
+            json.dump(state, fh)
+
+    def load(self, ctx: AssemblyContext, path: str) -> None:
+        from ..graph.coverage_model import GenomicInfo
+        from ..graph.serialize import load_graph
+        from ..io.contigs import Contig
+
+        gpath = os.path.join(path, "graph.npz")
+        if os.path.exists(gpath):
+            ctx.graph = load_graph(gpath)
+        with open(os.path.join(path, "state.json")) as fh:
+            state = json.load(fh)
+        ctx.read_length = state["read_length"]
+        ctx.insert_size = state.get("insert_size", 0.0)
+        ctx.contigs = [
+            Contig(name=n, seq=s, coverage=c, edge_id=-1)
+            for n, s, c in state["contigs"]
+        ]
+        ctx.scaffolds = [
+            Contig(name=n, seq=s, coverage=c, edge_id=-1)
+            for n, s, c in state.get("scaffolds", [])
+        ]
+        if "genomic_info" in state:
+            ctx.genomic_info = GenomicInfo(**state["genomic_info"])
+
+
+class StageManager:
+    """Runs a stage list with checkpointing and restart-from."""
+
+    def __init__(self, saves_policy: SavesPolicy = SavesPolicy.LAST):
+        self.stages: list[AssemblyStage] = []
+        self.saves_policy = saves_policy
+
+    def add(self, *stages: AssemblyStage) -> "StageManager":
+        self.stages.extend(stages)
+        return self
+
+    def _checkpoint_file(self, ctx: AssemblyContext) -> str:
+        return os.path.join(ctx.output_dir, "saves", "checkpoint.json")
+
+    def last_checkpoint(self, ctx: AssemblyContext) -> str | None:
+        cp = self._checkpoint_file(ctx)
+        if os.path.exists(cp):
+            with open(cp) as fh:
+                return json.load(fh).get("last_stage")
+        return None
+
+    def run(self, ctx: AssemblyContext, start_from: str | None = None) -> None:
+        """Run stages; start_from may name a stage id to resume at (loading
+        the previous stage's checkpoint), or "last" to auto-resume."""
+        ids = [s.id for s in self.stages]
+        begin = 0
+        if start_from == "last":
+            last = self.last_checkpoint(ctx)
+            if last in ids:
+                begin = ids.index(last) + 1
+                if begin < len(self.stages):
+                    log.info("resuming after stage '%s'", last)
+                    self.stages[ids.index(last)].load(ctx, ctx.saves_dir(last))
+                else:
+                    log.info("pipeline already complete at '%s'", last)
+                    self.stages[-1].load(ctx, ctx.saves_dir(last))
+                    return
+        elif start_from is not None:
+            if start_from not in ids:
+                raise ValueError(f"unknown stage id '{start_from}' (have {ids})")
+            begin = ids.index(start_from)
+            if begin > 0:
+                prev = self.stages[begin - 1]
+                prev.load(ctx, ctx.saves_dir(prev.id))
+
+        for i in range(begin, len(self.stages)):
+            stage = self.stages[i]
+            t0 = time.time()
+            log.info("== STAGE %s (%s) ==", stage.name, stage.id)
+            stage.run(ctx)
+            log.info("== done %s (%.2fs)", stage.name, time.time() - t0)
+            if self.saves_policy != SavesPolicy.NONE:
+                is_last = i == len(self.stages) - 1
+                if self.saves_policy == SavesPolicy.ALL or is_last:
+                    stage.save(ctx, ctx.saves_dir(stage.id))
+                os.makedirs(os.path.dirname(self._checkpoint_file(ctx)), exist_ok=True)
+                with open(self._checkpoint_file(ctx), "w") as fh:
+                    json.dump({"last_stage": stage.id, "time": time.time()}, fh)

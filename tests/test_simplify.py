@@ -78,7 +78,9 @@ class TestBulgeRemover:
 
 
 class TestEndToEnd:
-    def test_single_k_synthetic_with_errors(self, rng):
+    def test_single_k_synthetic_with_errors(self):
+        # own rng: results must not depend on draws made by earlier tests
+        rng = np.random.default_rng(1234)
         k = 21
         genome = clean_random_dna(rng, 600, k)
         reads = []
