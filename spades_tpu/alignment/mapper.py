@@ -1,0 +1,137 @@
+"""Read-to-graph sequence mapping via the edge k-mer index.
+
+Capability mirror of the reference's edge index + basic mapper
+(`/root/reference/src/common/assembly_graph/index/edge_position_index.hpp`,
+`alignment/sequence_mapper.hpp` BasicSequenceMapper, and the map-reduce
+fan-out of `alignment/sequence_mapper_notifier.hpp:60-121`).
+
+TPU-native: the edge index is a sorted canonical-k-mer array with parallel
+(edge, offset) columns; mapping a read batch is one vectorized canonical
+window extraction + one batched binary search + a vectorized vote group-by.
+Orientation is expressed through the conjugate edge ids (a reverse-strand hit
+is a forward hit on the conjugate edge), so a mapping is always
+(oriented edge, offset of read start in that edge's forward coordinates).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import dna
+from ..core import kmers as K
+from ..graph.graph import CondensedGraph
+from ..ops.count import _lexsort_rows, searchsorted_rows
+from ..ops.extension import canonicalize
+
+
+@dataclass
+class EdgeIndex:
+    """Sorted canonical k-mer -> (canonical edge id, offset, strand) map."""
+
+    k: int
+    kmers: np.ndarray    # (U, W) sorted canonical k-mers
+    edge: np.ndarray     # (U,) int64 edge id whose spelled window is indexed
+    offset: np.ndarray   # (U,) int64 offset of the window within that edge
+    strand: np.ndarray   # (U,) uint8: 0 = spelled == canonical, 1 = spelled == rc
+
+
+def build_edge_index(g: CondensedGraph) -> EdgeIndex:
+    k = g.k
+    ids = g.canonical_edge_ids()
+    all_words, all_edge, all_off, all_strand = [], [], [], []
+    for e in ids:
+        codes = g.edge_codes(int(e))
+        n = len(codes) - k + 1
+        if n <= 0:
+            continue
+        wins = np.lib.stride_tricks.sliding_window_view(codes, k)
+        packed = K.pack(np.ascontiguousarray(wins))
+        canon, was_rc = canonicalize(packed, k)
+        all_words.append(canon)
+        all_edge.append(np.full(n, int(e), np.int64))
+        all_off.append(np.arange(n, dtype=np.int64))
+        all_strand.append(was_rc.astype(np.uint8))
+    if not all_words:
+        W = K.kmer_words(k)
+        return EdgeIndex(
+            k=k, kmers=np.zeros((0, W), np.uint32), edge=np.zeros(0, np.int64),
+            offset=np.zeros(0, np.int64), strand=np.zeros(0, np.uint8),
+        )
+    words = np.concatenate(all_words)
+    edge = np.concatenate(all_edge)
+    off = np.concatenate(all_off)
+    strand = np.concatenate(all_strand)
+    order = _lexsort_rows(words)
+    words, edge, off, strand = words[order], edge[order], off[order], strand[order]
+    # dedup junction k-mers shared between edges: keep first occurrence
+    keep = np.concatenate([[True], np.any(words[1:] != words[:-1], axis=1)])
+    return EdgeIndex(
+        k=k, kmers=words[keep], edge=edge[keep], offset=off[keep], strand=strand[keep]
+    )
+
+
+@dataclass
+class ReadMapping:
+    """Dominant anchored mapping of one read onto an oriented edge."""
+
+    read_id: int
+    edge: int          # oriented edge the read spells forward into
+    start_offset: int  # offset of read position 0 in edge-forward coords (may be <0)
+    n_hits: int
+
+
+def map_read_batch(
+    index: EdgeIndex, g: CondensedGraph, seqs: list[str]
+) -> list[ReadMapping | None]:
+    """Map reads by k-mer anchor votes.  One ReadMapping (or None) per read."""
+    k = index.k
+    packed_list, valid_list, rid_list, j_list = [], [], [], []
+    for i, s in enumerate(seqs):
+        if len(s) < k:
+            continue
+        codes = dna.encode(s)
+        ok = codes < 4
+        wins = np.lib.stride_tricks.sliding_window_view(codes, k)
+        valid = np.lib.stride_tricks.sliding_window_view(ok, k).all(axis=1)
+        packed_list.append(K.pack(np.ascontiguousarray(np.where(wins >= 4, 0, wins))))
+        valid_list.append(valid)
+        n = wins.shape[0]
+        rid_list.append(np.full(n, i, np.int64))
+        j_list.append(np.arange(n, dtype=np.int64))
+    if not packed_list:
+        return [None] * len(seqs)
+
+    big = np.concatenate(packed_list)
+    valid = np.concatenate(valid_list)
+    rid = np.concatenate(rid_list)
+    jj = np.concatenate(j_list)
+
+    canon, read_rc = canonicalize(big, k)
+    idx = searchsorted_rows(index.kmers, canon)
+    hit = (idx >= 0) & valid
+    if not hit.any():
+        return [None] * len(seqs)
+    idx, rid, jj, read_rc = idx[hit], rid[hit], jj[hit], read_rc[hit]
+    e = index.edge[idx]
+    off = index.offset[idx]
+    same = read_rc == index.strand[idx]
+    # reverse-strand hit == forward hit on the conjugate edge at mirrored offset
+    oc = g.e_len[e] - k - off
+    voted_edge = np.where(same, e, g.e_conj[e])
+    voted_start = np.where(same, off, oc) - jj
+
+    # group votes by (read, edge, start); pick the dominant vote per read
+    key = np.stack([rid, voted_edge, voted_start], axis=1)
+    uniq, inv, counts = np.unique(key, axis=0, return_inverse=True, return_counts=True)
+    # for each read, the (edge, start) with max count
+    order = np.lexsort((-counts, uniq[:, 0]))
+    u = uniq[order]
+    c = counts[order]
+    first = np.concatenate([[True], u[1:, 0] != u[:-1, 0]])
+    best = u[first]
+    bestc = c[first]
+    out: list[ReadMapping | None] = [None] * len(seqs)
+    for (r, em, st), votes in zip(best, bestc):
+        out[int(r)] = ReadMapping(int(r), int(em), int(st), int(votes))
+    return out

@@ -1,0 +1,253 @@
+"""Repeat resolution and scaffolding as greedy path extension (exSPAnder).
+
+Capability mirror of the reference's path_extend module
+(`/root/reference/src/common/modules/path_extend/`): seeds from long edges
+(`MakeSimpleSeeds`), a paired-weight extension chooser
+(`extension_chooser.hpp` SimpleExtensionChooser: candidate score = sum of
+paired-info weights from path edges at consistent distances, with a
+relative-weight filter), conjugate-paired bidirectional paths, overlap/
+containment removal (`pe_resolver.hpp`), and pair-info-driven scaffold gap
+joining (`scaffolder2015` surface, simple-gap variant).
+
+Host-side control loop (the reference's is inherently sequential/greedy too,
+`launcher.cpp:633-702`); the per-candidate weight scoring is vectorized over
+the sorted paired-index table.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.graph import CondensedGraph
+from .paired_info import PairedIndex
+
+log = logging.getLogger("spades_tpu.path_extend")
+
+
+@dataclass
+class PEConfig:
+    insert_size: float = 250.0
+    is_var: float = 50.0
+    min_weight: float = 1.0
+    rel_weight: float = 0.6     # second-best filter (single_threshold analog)
+    max_edge_repeat: int = 8
+    scaffold_min_weight: float = 2.0
+    min_gap: int = 1
+    max_gap: int = 2000
+
+
+@dataclass
+class Path:
+    edges: list[int]
+    gaps: list[int] = field(default_factory=list)  # gap BEFORE edge i (gaps[0]=0)
+
+    def __post_init__(self):
+        if not self.gaps:
+            self.gaps = [0] * len(self.edges)
+
+
+def path_positions(g: CondensedGraph, path: Path) -> np.ndarray:
+    """Start position of every path edge in path coordinates (k-mer lengths)."""
+    pos = np.zeros(len(path.edges), np.int64)
+    run = 0
+    for i, e in enumerate(path.edges):
+        run += path.gaps[i]
+        pos[i] = run
+        run += int(g.e_len[e]) - g.k
+    return pos
+
+
+def conj_path(g: CondensedGraph, path: Path) -> Path:
+    edges = [int(g.e_conj[e]) for e in reversed(path.edges)]
+    gaps = [0] + list(reversed(path.gaps[1:])) if len(path.gaps) > 1 else [0]
+    return Path(edges, gaps)
+
+
+def candidate_weight(
+    g: CondensedGraph,
+    pi: PairedIndex,
+    path: Path,
+    pos: np.ndarray,
+    cand: int,
+    cand_pos: int,
+    cfg: PEConfig,
+) -> float:
+    """Paired support for extending the path with `cand` at cand_pos."""
+    delta = max(3.0 * cfg.is_var, 10.0)
+    total = 0.0
+    for e, p in zip(path.edges, pos):
+        expected = cand_pos - p
+        if expected - (g.e_len[e] - g.k) > cfg.insert_size + delta:
+            continue  # too far back to have pairs
+        e2s, ds, ws = pi.pairs_from(int(e))
+        if e2s.size == 0:
+            continue
+        m = (e2s == cand) & (np.abs(ds - expected) <= delta)
+        total += float(ws[m].sum())
+    return total
+
+
+def extend_path_forward(
+    g: CondensedGraph, pi: PairedIndex, path: Path, cfg: PEConfig
+) -> bool:
+    """Try one forward extension step; returns True if extended."""
+    last = path.edges[-1]
+    v = int(g.e_end[last])
+    cands = [int(e) for e in g.out_edges_of(v)]
+    if not cands:
+        return False
+    counts = {e: path.edges.count(e) for e in cands}
+    cands = [e for e in cands if counts[e] < cfg.max_edge_repeat]
+    if not cands:
+        return False
+    if len(cands) == 1:
+        path.edges.append(cands[0])
+        path.gaps.append(0)
+        return True
+    pos = path_positions(g, path)
+    cand_pos = int(pos[-1]) + int(g.e_len[last]) - g.k
+    weights = np.array(
+        [candidate_weight(g, pi, path, pos, c, cand_pos, cfg) for c in cands]
+    )
+    best = int(np.argmax(weights))
+    if weights[best] < cfg.min_weight:
+        return False
+    strong = np.flatnonzero(weights >= cfg.rel_weight * weights[best])
+    if strong.size != 1:
+        return False  # ambiguous — stop (the reference defers to loop resolvers)
+    path.edges.append(cands[best])
+    path.gaps.append(0)
+    return True
+
+
+def resolve_repeats(
+    g: CondensedGraph, pi: PairedIndex, cfg: PEConfig
+) -> list[Path]:
+    """Greedy seed-and-extend over all edges, longest seeds first."""
+    ids = g.canonical_edge_ids()
+    order = sorted(ids, key=lambda e: (-int(g.e_len[e]), int(e)))
+    used: set[int] = set()
+    paths: list[Path] = []
+    for seed in order:
+        seed = int(seed)
+        if seed in used:
+            continue
+        path = Path([seed])
+        # extend forward, then extend the conjugate forward (== backward)
+        while extend_path_forward(g, pi, path, cfg):
+            pass
+        path = conj_path(g, path)
+        while extend_path_forward(g, pi, path, cfg):
+            pass
+        path = conj_path(g, path)  # restore original orientation
+        for e in path.edges:
+            used.add(int(e))
+            used.add(int(g.e_conj[e]))
+        paths.append(path)
+    return remove_contained(g, paths)
+
+
+def remove_contained(g: CondensedGraph, paths: list[Path]) -> list[Path]:
+    """Drop paths whose edge sequence is contained in another path (or its
+    conjugate) — PEResolver overlap-removal light."""
+
+    def tup(p: Path):
+        return tuple(p.edges)
+
+    def contains(big: tuple, small: tuple) -> bool:
+        if len(small) > len(big):
+            return False
+        return any(
+            big[i : i + len(small)] == small
+            for i in range(len(big) - len(small) + 1)
+        )
+
+    keep: list[Path] = []
+    all_tups = [(tup(p), tup(conj_path(g, p))) for p in paths]
+    for i, p in enumerate(paths):
+        t = all_tups[i][0]
+        contained = False
+        for j, q in enumerate(paths):
+            if i == j:
+                continue
+            tq, tqc = all_tups[j]
+            if (len(t) < len(tq) or (len(t) == len(tq) and i > j)) and (
+                contains(tq, t) or contains(tqc, t)
+            ):
+                contained = True
+                break
+        if not contained:
+            keep.append(p)
+    return keep
+
+
+def path_sequence(g: CondensedGraph, path: Path) -> str:
+    """Spell the path: k-overlap concatenation; gaps become N runs."""
+    from ..core import dna
+
+    parts: list[str] = []
+    for i, e in enumerate(path.edges):
+        s = g.edge_seq(int(e))
+        if i == 0:
+            parts.append(s)
+        elif path.gaps[i] > 0:
+            parts.append("N" * path.gaps[i])
+            parts.append(s)
+        else:
+            parts.append(s[g.k :])
+    return "".join(parts)
+
+
+def path_coverage(g: CondensedGraph, path: Path) -> float:
+    lens = np.array([g.e_len[e] - g.k for e in path.edges], float)
+    covs = g.coverage()[np.array(path.edges, np.int64)]
+    return float((lens * covs).sum() / max(lens.sum(), 1.0))
+
+
+def scaffold_paths(
+    g: CondensedGraph, pi: PairedIndex, paths: list[Path], cfg: PEConfig
+) -> list[Path]:
+    """Join paths whose ends are linked by pair info with an estimated gap."""
+    if not paths:
+        return paths
+    first_edge = {}
+    for i, p in enumerate(paths):
+        first_edge.setdefault(p.edges[0], i)
+        first_edge.setdefault(int(g.e_conj[p.edges[-1]]), ~i)  # conj start
+
+    joined: list[Path] = []
+    consumed = [False] * len(paths)
+    for i, p in enumerate(paths):
+        if consumed[i]:
+            continue
+        cur = Path(list(p.edges), list(p.gaps))
+        while True:
+            last = cur.edges[-1]
+            e2s, ds, ws = pi.pairs_from(int(last))
+            if e2s.size == 0:
+                break
+            # candidate links: to first edges of other paths
+            best_j, best_w, best_gap = None, 0.0, 0
+            for e2, d, w in zip(e2s, ds, ws):
+                j = first_edge.get(int(e2))
+                if j is None:
+                    continue
+                jj = j if j >= 0 else ~j
+                if jj == i or consumed[jj] or (j < 0):
+                    continue  # only forward-orientation joins in this pass
+                gap = int(d) - (int(g.e_len[last]) - g.k)
+                if not (-g.k < gap <= cfg.max_gap):
+                    continue
+                if w > best_w:
+                    best_j, best_w, best_gap = jj, float(w), gap
+            if best_j is None or best_w < cfg.scaffold_min_weight:
+                break
+            q = paths[best_j]
+            cur.edges += list(q.edges)
+            cur.gaps += [max(best_gap, cfg.min_gap)] + list(q.gaps[1:])
+            consumed[best_j] = True
+        joined.append(cur)
+        consumed[i] = True
+    return joined

@@ -149,21 +149,19 @@ def main(argv=None) -> int:
 
     # --- load reads -----------------------------------------------------
     reads: list[str] = []
-    paired_spans: list[tuple[int, int]] = []
+    paired_libs: list[tuple[list[str], list[str]]] = []
     for p1, p2 in zip(args.pe1, args.pe2):
         r1 = [r.seq for r in read_fastx(p1)]
         r2 = [r.seq for r in read_fastx(p2)]
         if len(r1) != len(r2):
             log.error("paired files %s / %s length mismatch", p1, p2)
             return 64
-        start = len(reads)
         reads += r1 + r2
-        paired_spans.append((start, len(r1)))
+        paired_libs.append((r1, r2))
     for p in args.interlaced:
         rs = [r.seq for r in read_fastx(p)]
-        start = len(reads)
         reads += rs
-        paired_spans.append((start, len(rs) // 2))
+        paired_libs.append((rs[0::2], rs[1::2]))
     for p in args.single:
         reads += [r.seq for r in read_fastx(p)]
     long_reads = []
@@ -201,7 +199,7 @@ def main(argv=None) -> int:
         output_dir=args.output_dir,
         mode=mode,
         read_length=rl,
-        paired_spans=paired_spans,
+        paired_libs=paired_libs,
         long_reads=long_reads,
         trusted_contigs=trusted,
         min_count=max(cov_cutoff, 1),

@@ -14,7 +14,13 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..graph.simplify import SimplifyConfig
-from .spades_stages import Construction, ContigOutput, GenomicInfoFiller, Simplification
+from .spades_stages import (
+    Construction,
+    ContigOutput,
+    GenomicInfoFiller,
+    RepeatResolution,
+    Simplification,
+)
 from .stages import AssemblyContext, SavesPolicy, StageManager
 
 log = logging.getLogger("spades_tpu.run")
@@ -52,7 +58,7 @@ def run_assembly(
     output_dir: str,
     mode: str = "multicell",
     read_length: int = 100,
-    paired_spans: list | None = None,
+    paired_libs: list | None = None,  # list of (left_seqs, right_seqs)
     long_reads: list | None = None,
     trusted_contigs: list | None = None,
     min_count: int = 1,
@@ -75,10 +81,12 @@ def run_assembly(
     for ki, k in enumerate(k_list):
         kdir = os.path.join(output_dir, f"K{k}")
         os.makedirs(kdir, exist_ok=True)
+        is_last = ki == len(k_list) - 1
         ctx = AssemblyContext(
             k=k,
             output_dir=kdir,
             reads=[r for r in reads if len(r) > k],
+            paired=list(paired_libs or []),
             extra_sequences=list(prev_contigs),
             read_length=read_length,
         )
@@ -87,8 +95,12 @@ def run_assembly(
             Construction(min_count=min_count),
             GenomicInfoFiller(),
             Simplification(mode_simplify_config(mode, read_length)),
-            ContigOutput(),
         )
+        if is_last:
+            # repeat resolution runs on the main (last) iteration only
+            # (pipeline.cpp: RepeatResolution gated on main_iteration)
+            mgr.add(RepeatResolution())
+        mgr.add(ContigOutput())
         start = None
         if restart_from == "last":
             start = "last"

@@ -87,7 +87,8 @@ class ContigOutput(AssemblyStage):
         self.out_prefix = out_prefix
 
     def run(self, ctx: AssemblyContext) -> None:
-        ctx.contigs = extract_contigs(ctx.graph)
+        if not ctx.contigs:  # repeat resolution may already have produced paths
+            ctx.contigs = extract_contigs(ctx.graph)
         if not ctx.scaffolds:
             ctx.scaffolds = ctx.contigs
         d = os.path.join(ctx.output_dir, self.out_prefix) if self.out_prefix else ctx.output_dir
@@ -96,3 +97,87 @@ class ContigOutput(AssemblyStage):
         write_contigs(os.path.join(d, "scaffolds.fasta"), ctx.scaffolds)
         write_gfa(os.path.join(d, "assembly_graph_with_scaffolds.gfa"), ctx.graph)
         log.info("%d contigs -> %s", len(ctx.contigs), d)
+
+
+class RepeatResolution(AssemblyStage):
+    """exSPAnder path extension + scaffolding (repeat_resolving.cpp:17-80).
+
+    Maps paired libraries to the simplified graph, estimates insert size,
+    builds the clustered paired index, then runs greedy path extension and
+    pair-info scaffolding.  Without usable paired data, contigs fall back to
+    graph edges (the reference behaves the same in --only-assembler single-lib
+    corner cases)."""
+
+    name = "Repeat Resolving"
+    id = "repeat_resolving"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        from ..alignment.mapper import build_edge_index, map_read_batch
+        from ..io.contigs import Contig
+        from ..paired.paired_info import (
+            build_paired_index,
+            cluster_distances,
+            estimate_insert_size,
+        )
+        from ..paired.path_extend import (
+            PEConfig,
+            path_coverage,
+            path_sequence,
+            resolve_repeats,
+            scaffold_paths,
+        )
+
+        if not ctx.paired or ctx.graph is None or ctx.graph.num_edges == 0:
+            log.info("no paired libraries — skipping repeat resolution")
+            return
+        idx = build_edge_index(ctx.graph)
+        all_m1, all_m2, rl2 = [], [], []
+        is_stats = None
+        for r1s, r2s in ctx.paired:
+            m1 = map_read_batch(idx, ctx.graph, r1s)
+            m2 = map_read_batch(idx, ctx.graph, r2s)
+            st = estimate_insert_size(
+                ctx.graph, m1, m2, [len(r) for r in r1s], [len(r) for r in r2s]
+            )
+            log.info(
+                "library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
+                sum(m is not None for m in m1), st.median, st.mad, st.count,
+            )
+            if st.count == 0:
+                continue
+            all_m1 += m1
+            all_m2 += m2
+            rl2 += [len(r) for r in r2s]
+            is_stats = st
+        if is_stats is None or is_stats.median <= 0:
+            log.info("no usable insert-size estimate — skipping RR")
+            return
+        ctx.insert_size = is_stats.median
+        pi = build_paired_index(ctx.graph, all_m1, all_m2, rl2, is_stats.median)
+        pi = cluster_distances(pi)
+        cfg = PEConfig(
+            insert_size=is_stats.median, is_var=max(is_stats.mad, 10.0)
+        )
+        paths = resolve_repeats(ctx.graph, pi, cfg)
+        log.info("%d paths after extension", len(paths))
+
+        def to_contigs(path_list, prefix="NODE"):
+            seqs = sorted(
+                ((path_sequence(ctx.graph, p), path_coverage(ctx.graph, p)) for p in path_list),
+                key=lambda t: -len(t[0]),
+            )
+            return [
+                Contig(
+                    name=f"{prefix}_{i+1}_length_{len(s)}_cov_{c:.6f}",
+                    seq=s, coverage=c, edge_id=-1,
+                )
+                for i, (s, c) in enumerate(seqs)
+            ]
+
+        ctx.contigs = to_contigs(paths)
+        scaffolds = scaffold_paths(ctx.graph, pi, paths, cfg)
+        ctx.scaffolds = to_contigs(scaffolds)
+        log.info(
+            "%d contigs, %d scaffolds after repeat resolution",
+            len(ctx.contigs), len(ctx.scaffolds),
+        )
