@@ -1,0 +1,144 @@
+"""Hamming-distance clustering of counted k-mers (BayesHammer core step).
+
+Capability mirror of the reference's `KMerHamClusterer`
+(`/root/reference/src/projects/hammer/hamcluster.cpp`): k-mers within Hamming
+distance tau of each other are united into clusters, found by sorting on
+sub-k-mer blocks — two k-mers at distance <= tau agree exactly on at least one
+of tau+1 blocks, so candidate pairs only need to be examined inside runs of
+equal block value.  The reference unions pairs through a concurrent DSU over
+sorted SubKMer arrays; here the block grouping is a vectorized lexsort, the
+distance test is an XOR/popcount over the packed 2-bit words, and the DSU is a
+small path-halving union-find on the host.  Oversized runs (low-complexity /
+repeat blocks) are split recursively on sub-blocks of the remaining positions,
+mirroring the reference's recursive sub-clustering of large blocks.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import kmers as K
+
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Base-level Hamming distance between packed (N, W) uint32 k-mer rows."""
+    d = a ^ b
+    # a 2-bit field differs iff either of its bits differs; project onto the
+    # low bit of each field then popcount.
+    m = (d | (d >> np.uint32(1))) & np.uint32(0x55555555)
+    dist = np.zeros(m.shape[:-1], np.int32)
+    for w in range(m.shape[-1]):
+        x = m[..., w]
+        dist += (
+            _POPCNT[x & 0xFF]
+            + _POPCNT[(x >> 8) & 0xFF]
+            + _POPCNT[(x >> 16) & 0xFF]
+            + _POPCNT[(x >> 24) & 0xFF]
+        ).astype(np.int32)
+    return dist
+
+
+class DSU:
+    """Union-find with path halving + union by size (host-side)."""
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+        self.size = np.ones(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+
+    def labels(self) -> np.ndarray:
+        """Dense cluster ids (0..C-1) for every element."""
+        n = len(self.parent)
+        roots = np.empty(n, np.int64)
+        for i in range(n):
+            roots[i] = self.find(i)
+        _, labels = np.unique(roots, return_inverse=True)
+        return labels
+
+
+def _sub_columns(codes: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    return codes[:, positions]
+
+
+def _cluster_block(
+    idx: np.ndarray,
+    words: np.ndarray,
+    codes: np.ndarray,
+    rest: np.ndarray,
+    tau: int,
+    dsu: DSU,
+    cap: int,
+) -> None:
+    """Union pairs with distance <= tau inside one candidate block.
+
+    idx: global indices of the block members; rest: remaining base positions
+    (the block already agrees on the other positions).  Blocks larger than
+    `cap` are split recursively on halves of `rest` (a pair at distance <= tau
+    restricted to `rest` still agrees on one half when tau == 1).
+    """
+    n = len(idx)
+    if n < 2:
+        return
+    if n > cap and len(rest) >= 2 and tau == 1:
+        half = len(rest) // 2
+        for part in (rest[:half], rest[half:]):
+            sub = _sub_columns(codes[idx], part)
+            order = np.lexsort(tuple(sub[:, j] for j in range(sub.shape[1] - 1, -1, -1)))
+            s = sub[order]
+            runs = np.concatenate([[True], np.any(s[1:] != s[:-1], axis=1)])
+            starts = np.flatnonzero(runs)
+            ends = np.append(starts[1:], n)
+            other = np.setdiff1d(rest, part, assume_unique=True)
+            for a, b in zip(starts, ends):
+                if b - a >= 2:
+                    _cluster_block(idx[order[a:b]], words, codes, other, tau, dsu, cap)
+        return
+    # all-pairs inside the (small) block
+    blk = words[idx]
+    for i in range(n - 1):
+        d = hamming_distance(blk[i + 1 :], blk[i][None, :])
+        for j in np.flatnonzero(d <= tau):
+            dsu.union(int(idx[i]), int(idx[i + 1 + j]))
+
+
+def cluster_kmers(words: np.ndarray, k: int, tau: int = 1, cap: int = 256) -> np.ndarray:
+    """Cluster unique packed k-mers by Hamming distance <= tau.
+
+    Returns dense cluster labels, shape (N,).  tau=1 matches the reference's
+    default full-pipeline setting (`hamcluster.hpp` SubKMer splitting with
+    tau+1 parts).
+    """
+    n = words.shape[0]
+    dsu = DSU(n)
+    if n >= 2:
+        codes = K.unpack(words, k)
+        # tau+1 sub-k-mer parts: equal-part runs are the candidate blocks
+        parts = np.array_split(np.arange(k), tau + 1)
+        for pi, part in enumerate(parts):
+            other = np.concatenate([p for qi, p in enumerate(parts) if qi != pi]) if tau else np.arange(0)
+            sub = _sub_columns(codes, part)
+            order = np.lexsort(tuple(sub[:, j] for j in range(sub.shape[1] - 1, -1, -1)))
+            s = sub[order]
+            runs = np.concatenate([[True], np.any(s[1:] != s[:-1], axis=1)])
+            starts = np.flatnonzero(runs)
+            ends = np.append(starts[1:], n)
+            for a, b in zip(starts, ends):
+                if b - a >= 2:
+                    _cluster_block(order[a:b], words, codes, other, tau, dsu, cap)
+    return dsu.labels()

@@ -1,0 +1,203 @@
+"""BayesHammer-equivalent read error correction, TPU-native.
+
+Capability mirror of `spades-hammer`
+(`/root/reference/src/projects/hammer/main.cpp:65-245`): iterative loop of
+(1) k-mer counting (fixed k=21 in the reference), (2) Hamming-distance
+clustering of the counted k-mers, (3) center selection + solid ("good") k-mer
+marking against the coverage model, (4) read correction by per-position
+consensus of the solid cluster centers covering each position
+(`read_corrector.cpp`).
+
+TPU redesign: counting rides the device sort engine (ops/count); clustering is
+sub-k-mer block sorting (clustering.py); correction is a fused device voting
+kernel — every read window gathers its cluster center's bases and scatter-adds
+one-hot votes onto a (reads, positions, 4) tally, then argmax rewrites the
+read.  The reference's quality-weighted Bayesian subclustering
+(`kmer_cluster.cpp`) is approximated by count-weighted center selection with a
+coverage-model solidity bound — quality scores do not survive into the packed
+device layout (they are IO-validated and dropped, as the binary-read
+conversion also effectively does for later stages).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import kmers as K
+from ..core.reads import ReadBatch, batch_iter
+from ..graph.coverage_model import fit_coverage_model
+from ..ops.count import count_sequences, searchsorted_rows
+from .clustering import cluster_kmers
+
+log = logging.getLogger("spades_tpu.hammer")
+
+
+@dataclass
+class HammerConfig:
+    k: int = 21
+    tau: int = 1
+    n_iters: int = 1
+    batch_size: int = 8192
+    # minimum multiplicity for a center to be trusted when the coverage model
+    # can't produce a bound (tiny inputs); the model bound wins when available
+    min_solid_count: int = 3
+    # a position is rewritten only when the winning base holds a clear
+    # majority of the votes (read_corrector.cpp consensus discipline)
+    majority: float = 0.5
+
+
+@dataclass
+class HammerStats:
+    reads_total: int = 0
+    reads_changed: int = 0
+    bases_changed: int = 0
+    solid_kmers: int = 0
+    unique_kmers: int = 0
+    clusters: int = 0
+
+
+def _cluster_centers(counts_words: np.ndarray, counts: np.ndarray, labels: np.ndarray):
+    """Per-cluster center (max-count member) and total count."""
+    n_clusters = int(labels.max()) + 1 if labels.size else 0
+    # argmax count per cluster via sort by (label, -count)
+    order = np.lexsort((-counts, labels))
+    lab_sorted = labels[order]
+    first = np.concatenate([[True], lab_sorted[1:] != lab_sorted[:-1]])
+    center_of_cluster = np.empty(n_clusters, np.int64)
+    center_of_cluster[lab_sorted[first]] = order[first]
+    totals = np.zeros(n_clusters, np.int64)
+    np.add.at(totals, labels, counts)
+    return center_of_cluster, totals
+
+
+def _vote_correct_batch(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    n_mask: np.ndarray,
+    oriented: np.ndarray,
+    good: np.ndarray,
+    k: int,
+    majority: float,
+):
+    """Device voting kernel: center bases vote on read positions.
+
+    codes (R, L) uint8, oriented (R, P, k) uint8 center bases in read
+    orientation, good (R, P) bool.  Returns (corrected codes (R, L) uint8,
+    voted (R, L) bool).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kernel(codes, oriented, good):
+        R, L = codes.shape
+        P = oriented.shape[1]
+        votes = jnp.zeros((R, L, 4), jnp.int32)
+        g = good.astype(jnp.int32)[..., None]
+        for j in range(k):
+            onehot = jax.nn.one_hot(oriented[:, :, j], 4, dtype=jnp.int32) * g
+            votes = votes.at[:, j : j + P, :].add(onehot)
+        total = votes.sum(-1)
+        best = jnp.argmax(votes, axis=-1).astype(jnp.uint8)
+        bestv = jnp.max(votes, axis=-1)
+        win = (total > 0) & (bestv > majority * total)
+        out = jnp.where(win, best, codes)
+        return out, win
+
+    out, win = kernel(jnp.asarray(codes), jnp.asarray(oriented), jnp.asarray(good))
+    return np.asarray(out), np.asarray(win)
+
+
+def _correct_pass(seqs: list[str], cfg: HammerConfig, stats: HammerStats) -> list[str]:
+    # Unlike the assembly counting path, hammer counts N windows too (N read
+    # as A): an erroneous k-mer must itself be in the table so the clustering
+    # can map it to its solid center (hamcluster semantics — bad k-mers join
+    # the cluster of the true k-mer they derive from).
+    kc = count_sequences([s.upper().replace("N", "A") for s in seqs], cfg.k)
+    if kc.num_unique == 0:
+        return seqs
+    labels = cluster_kmers(kc.words, cfg.k, cfg.tau)
+    centers, totals = _cluster_centers(kc.words, kc.counts, labels)
+    info = fit_coverage_model(kc.counts)
+    solid_bound = max(cfg.min_solid_count, info.ec_bound)
+    solid_center = kc.counts[centers] >= solid_bound
+    stats.unique_kmers = kc.num_unique
+    stats.clusters = len(centers)
+    stats.solid_kmers = int(solid_center.sum())
+    log.info(
+        "hammer: %d unique %d-mers, %d clusters, %d solid centers (bound %.1f)",
+        kc.num_unique, cfg.k, len(centers), stats.solid_kmers, solid_bound,
+    )
+
+    # precompute per-unique-kmer: its center row index and solidity
+    center_idx_of_kmer = centers[labels]
+    kmer_good = solid_center[labels]
+    center_codes_all = K.unpack(kc.words, cfg.k)  # canonical orientation
+
+    out: list[str] = []
+    pos = 0
+    for batch in batch_iter(seqs, batch_size=cfg.batch_size):
+        R, L = batch.codes.shape
+        n = min(cfg.batch_size, len(seqs) - pos)  # real (unpadded) read count
+        if L < cfg.k:
+            out.extend(batch.sequences()[:n])
+            pos += n
+            continue
+        import jax.numpy as jnp
+
+        fwd = np.asarray(K.pack_windows(jnp.asarray(batch.codes), cfg.k, rc=False))
+        rcw = np.asarray(K.pack_windows(jnp.asarray(batch.codes), cfg.k, rc=True))
+        use_rc = np.asarray(K.lex_less(jnp.asarray(rcw), jnp.asarray(fwd)))
+        # windows need only lie inside the read — N positions (stored as code
+        # 0 == A) participate so their windows can map to solid centers
+        P0 = L - cfg.k + 1
+        valid = (
+            np.arange(P0, dtype=np.int32)[None, :] + cfg.k
+            <= batch.lengths[:, None]
+        )
+        canon = np.where(use_rc[..., None], rcw, fwd)
+        P = canon.shape[1]
+        idx = searchsorted_rows(kc.words, canon.reshape(-1, canon.shape[-1]))
+        idx = idx.reshape(R, P)
+        present = idx >= 0
+        safe = np.where(present, idx, 0)
+        good = present & valid & kmer_good[safe]
+        cidx = center_idx_of_kmer[safe]
+        oriented = center_codes_all[cidx]  # (R, P, k) canonical
+        rc_codes = 3 - oriented[:, :, ::-1]
+        oriented = np.where(use_rc[..., None], rc_codes, oriented).astype(np.uint8)
+
+        corrected, win = _vote_correct_batch(
+            batch.codes, batch.lengths, batch.n_mask, oriented, good, cfg.k, cfg.majority
+        )
+        inlen = np.arange(L)[None, :] < batch.lengths[:, None]
+        changed = (corrected != batch.codes) & win & inlen
+        stats.bases_changed += int(changed.sum())
+        stats.reads_changed += int(changed.any(axis=1)[:n].sum())
+        # N positions that received votes become called bases
+        new_nmask = batch.n_mask & ~win
+        fixed = ReadBatch(codes=corrected, lengths=batch.lengths, n_mask=new_nmask)
+        out.extend(fixed.sequences()[:n])
+        pos += n
+    return out
+
+
+def correct_reads(seqs: list[str], cfg: HammerConfig | None = None) -> tuple[list[str], HammerStats]:
+    """Correct sequencing errors in reads; returns (corrected reads, stats).
+
+    Order and count of reads are preserved (the reference also keeps pairing
+    intact; full-read discarding is left to the caller).
+    """
+    cfg = cfg or HammerConfig()
+    stats = HammerStats(reads_total=len(seqs))
+    for it in range(cfg.n_iters):
+        before = stats.bases_changed
+        seqs = _correct_pass(seqs, cfg, stats)
+        log.info(
+            "hammer iteration %d: %d bases changed", it, stats.bases_changed - before
+        )
+        if stats.bases_changed == before:
+            break
+    return seqs, stats

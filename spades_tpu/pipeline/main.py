@@ -112,10 +112,14 @@ def setup_logging(output_dir: str) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.platform:
+    # The container's sitecustomize pins jax_platforms to the axon TPU backend
+    # after interpreter start, which silently overrides a JAX_PLATFORMS env
+    # var; re-assert the caller's choice (--platform wins over the env var).
+    platform = args.platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", platform)
 
     if args.test:
         args.pe1 = [os.path.join(TEST_DATASET_DIR, "ecoli_1K_1.fq.gz")]
@@ -172,6 +176,47 @@ def main(argv=None) -> int:
         trusted += [r.seq for r in read_fastx(p)]
     if not reads:
         log.error("no reads parsed")
+        return 64
+
+    # --- error correction (BayesHammer stage; error_correction_stage.py) -
+    # Runs by default like the reference; skipped for --only-assembler and
+    # for modes that disable it (rna/corona run without hammer upstream).
+    if not args.only_assembler and mode not in ("rna", "corona", "sewage"):
+        from ..hammer import HammerConfig, correct_reads
+        from ..io.fastx import write_fasta
+
+        n_paired = sum(len(r1) for r1, _ in paired_libs) * 2
+        flat: list[str] = []
+        for r1, r2 in paired_libs:
+            flat += r1 + r2
+        n_single = len(reads) - n_paired
+        flat += reads[len(flat) : len(flat) + max(n_single, 0)]
+        corrected, st = correct_reads(flat, HammerConfig())
+        log.info(
+            "error correction: %d/%d reads changed, %d bases",
+            st.reads_changed, st.reads_total, st.bases_changed,
+        )
+        # rebuild libraries in order
+        off = 0
+        new_paired = []
+        for r1, r2 in paired_libs:
+            n = len(r1)
+            new_paired.append((corrected[off : off + n], corrected[off + n : off + 2 * n]))
+            off += 2 * n
+        paired_libs = new_paired
+        reads = corrected
+        cdir = os.path.join(args.output_dir, "corrected")
+        os.makedirs(cdir, exist_ok=True)
+        for li, (r1, r2) in enumerate(paired_libs):
+            write_fasta(os.path.join(cdir, f"lib{li + 1}_1.cor.fasta"), [(f"read{i+1}/1", r) for i, r in enumerate(r1)])
+            write_fasta(os.path.join(cdir, f"lib{li + 1}_2.cor.fasta"), [(f"read{i+1}/2", r) for i, r in enumerate(r2)])
+        if off < len(corrected):
+            write_fasta(os.path.join(cdir, "unpaired.cor.fasta"), [(f"read{i+1}", r) for i, r in enumerate(corrected[off:])])
+        if args.only_error_correction:
+            log.info("======= spades_tpu finished (error correction only). Results in %s", cdir)
+            return 0
+    elif args.only_error_correction:
+        log.error("--only-error-correction with --only-assembler or a no-EC mode")
         return 64
 
     # --- k selection ----------------------------------------------------

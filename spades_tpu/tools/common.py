@@ -3,6 +3,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -21,10 +22,13 @@ def setup(args) -> None:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname).1s %(name)s: %(message)s"
     )
-    if args.platform:
+    # --platform wins; else honor JAX_PLATFORMS, which the container's
+    # sitecustomize would otherwise override with the axon TPU backend
+    platform = args.platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", platform)
 
 
 def check_odd_k(k: int) -> None:
