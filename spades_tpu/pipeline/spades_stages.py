@@ -77,6 +77,40 @@ class Simplification(AssemblyStage):
         )
 
 
+class GapClosing(AssemblyStage):
+    """Paired-read tip-to-tip gap closing (gap_closer.cpp:28-514)."""
+
+    name = "Gap Closer"
+    id = "gap_closer"
+
+    def __init__(self, label: str = "early"):
+        self.id = f"{GapClosing.id}_{label}"
+        self.label = label
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if not ctx.paired or ctx.graph is None or ctx.graph.num_edges < 2:
+            return
+        from ..alignment.gap_closer import close_gaps
+
+        n = close_gaps(ctx.graph, ctx.paired)
+        log.info("gap closer (%s): closed %d gaps", self.label, n)
+
+
+class MismatchCorrection(AssemblyStage):
+    """Careful-mode edge-sequence polishing (mismatch_correction.cpp:119-280)."""
+
+    name = "Mismatch Correction"
+    id = "mismatch_correction"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if ctx.graph is None or ctx.graph.num_edges == 0 or not ctx.reads:
+            return
+        from ..alignment.mismatch import correct_mismatches
+
+        n = correct_mismatches(ctx.graph, ctx.reads)
+        log.info("mismatch correction: %d bases fixed", n)
+
+
 class ContigOutput(AssemblyStage):
     """Emit contigs/scaffolds/GFA (contig_output_stage.cpp equivalent)."""
 

@@ -1,0 +1,102 @@
+"""Gap closer + mismatch correction tests.
+
+Mirrors the reference contracts: GapClosing splices tip-to-tip gaps supported
+by read pairs (gap_closer.cpp); MismatchCorrection fixes edge bases against
+the read consensus (mismatch_correction.cpp)."""
+import numpy as np
+import pytest
+
+from spades_tpu.alignment.gap_closer import close_gaps
+from spades_tpu.alignment.mismatch import correct_mismatches
+from spades_tpu.core import dna
+from spades_tpu.pipeline.construction import construct_graph
+
+K = 21
+
+
+def _random_genome(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return dna.decode(rng.integers(0, 4, n).astype(np.uint8))
+
+
+def _tile(genome, lo, hi, read_len=100, step=7):
+    reads = [genome[s : s + read_len] for s in range(lo, hi - read_len + 1, step)]
+    reads.append(genome[hi - read_len : hi])  # cover the final bases exactly
+    return reads
+
+
+def _pairs(genome, lo, hi, read_len=100, insert=220, step=5):
+    r1, r2 = [], []
+    for s in range(lo, hi - insert, step):
+        r1.append(genome[s : s + read_len])
+        mate = genome[s + insert - read_len : s + insert]
+        r2.append(dna.revcomp_str(mate))
+    return r1, r2
+
+
+class TestGapCloser:
+    def _gapped_graph(self, genome):
+        # coverage gap: left part and right part overlap by only k-1 nt, so
+        # the dBG breaks into two edges with a tip-to-tip junction
+        reads = _tile(genome, 0, 520) + _tile(genome, 500, len(genome))
+        return construct_graph(reads, K, min_count=1).graph
+
+    def test_closes_supported_gap(self):
+        genome = _random_genome(1000, seed=1)
+        g = self._gapped_graph(genome)
+        assert len(g.canonical_edge_ids()) == 2
+        r1, r2 = _pairs(genome, 300, 800)
+        closed = close_gaps(g, [(r1, r2)])
+        assert closed == 1
+        ids = g.canonical_edge_ids()
+        assert len(ids) == 1
+        seq = g.edge_seq(int(ids[0]))
+        assert seq == genome or seq == dna.revcomp_str(genome)
+        g.check_invariants()
+
+    def test_no_pairs_no_close(self):
+        genome = _random_genome(1000, seed=2)
+        g = self._gapped_graph(genome)
+        assert close_gaps(g, []) == 0
+        assert len(g.canonical_edge_ids()) == 2
+
+    def test_unsupported_junction_not_closed(self):
+        # pairs entirely inside the left part never witness the junction
+        genome = _random_genome(1000, seed=3)
+        g = self._gapped_graph(genome)
+        r1, r2 = _pairs(genome, 0, 450)
+        assert close_gaps(g, [(r1, r2)]) == 0
+
+    def test_single_edge_graph_noop(self):
+        genome = _random_genome(600, seed=4)
+        g = construct_graph(_tile(genome, 0, 600), K).graph
+        assert close_gaps(g, [(["A" * 50], ["T" * 50])]) == 0
+
+
+class TestMismatchCorrection:
+    def test_fixes_injected_edge_error(self):
+        genome = _random_genome(800, seed=10)
+        bad = list(dna.encode(genome))
+        bad[400] = (bad[400] + 1) % 4
+        bad_genome = dna.decode(np.array(bad, np.uint8))
+        # graph built from the erroneous sequence, reads are clean
+        g = construct_graph([bad_genome], K, min_count=1).graph
+        assert len(g.canonical_edge_ids()) == 1
+        reads = _tile(genome, 0, 800, read_len=100, step=3)
+        fixed = correct_mismatches(g, reads)
+        assert fixed >= 1
+        e = int(g.canonical_edge_ids()[0])
+        seq = g.edge_seq(e)
+        assert seq == genome or seq == dna.revcomp_str(genome)
+        g.check_invariants()
+
+    def test_clean_graph_untouched(self):
+        genome = _random_genome(500, seed=11)
+        g = construct_graph([genome], K).graph
+        reads = _tile(genome, 0, 500, read_len=80, step=4)
+        assert correct_mismatches(g, reads) == 0
+
+    def test_empty_inputs(self):
+        genome = _random_genome(300, seed=12)
+        g = construct_graph([genome], K).graph
+        assert correct_mismatches(g, []) == 0
