@@ -73,8 +73,10 @@ def close_gaps(
     if not dead_end or not dead_start:
         return 0
 
+    from ..io.libraries import iter_fr_libs
+
     votes: dict[tuple[int, int], int] = {}
-    for r1s, r2s in paired:
+    for r1s, r2s, _lib_type in iter_fr_libs(paired):
         m1 = map_read_batch(index, g, r1s)
         # FR orientation: the right mate spells the reverse strand
         m2 = map_read_batch(index, g, [dna.revcomp_str(s) for s in r2s])

@@ -148,6 +148,29 @@ def build_paired_index(
     return PairedIndex(e1[key_new], e2[key_new], d[key_new], wsum)
 
 
+def merge_paired_indices(indices: list[PairedIndex]) -> PairedIndex:
+    """Concatenate sorted (e1,e2,d)->w tables, summing duplicate keys."""
+    indices = [p for p in indices if p.e1.size]
+    if not indices:
+        z = np.zeros(0)
+        return PairedIndex(z.astype(np.int64), z.astype(np.int64), z, z)
+    if len(indices) == 1:
+        return indices[0]
+    e1 = np.concatenate([p.e1 for p in indices])
+    e2 = np.concatenate([p.e2 for p in indices])
+    d = np.concatenate([p.dist for p in indices])
+    w = np.concatenate([p.weight for p in indices])
+    order = np.lexsort((d, e2, e1))
+    e1, e2, d, w = e1[order], e2[order], d[order], w[order]
+    new = np.concatenate(
+        [[True], (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1]) | (d[1:] != d[:-1])]
+    )
+    seg = np.cumsum(new) - 1
+    wsum = np.zeros(seg[-1] + 1)
+    np.add.at(wsum, seg, w)
+    return PairedIndex(e1[new], e2[new], d[new], wsum)
+
+
 def cluster_distances(pi: PairedIndex, max_delta: int = 10) -> PairedIndex:
     """Distance estimation: merge histogram points within max_delta into
     weighted-mean clusters (simple/weighted estimator semantics)."""

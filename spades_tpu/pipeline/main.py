@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     inp.add_argument("-2", dest="pe2", action="append", default=[], help="right paired-end reads")
     inp.add_argument("--12", dest="interlaced", action="append", default=[], help="interlaced paired reads")
     inp.add_argument("-s", dest="single", action="append", default=[], help="unpaired reads")
+    inp.add_argument("--mp-1", dest="mp1", action="append", default=[], help="left mate-pair reads (RF)")
+    inp.add_argument("--mp-2", dest="mp2", action="append", default=[], help="right mate-pair reads (RF)")
+    inp.add_argument("--hqmp-1", dest="hqmp1", action="append", default=[], help="left high-quality mate-pair reads")
+    inp.add_argument("--hqmp-2", dest="hqmp2", action="append", default=[], help="right high-quality mate-pair reads")
+    inp.add_argument("--merged", action="append", default=[], help="merged overlapping paired reads")
     inp.add_argument("--pacbio", action="append", default=[], help="PacBio CLR reads")
     inp.add_argument("--nanopore", action="append", default=[], help="Oxford Nanopore reads")
     inp.add_argument("--trusted-contigs", action="append", default=[], help="trusted contigs")
@@ -76,26 +81,6 @@ def detect_mode(args) -> str:
     return "multicell"
 
 
-def load_dataset_yaml(path: str):
-    import yaml
-
-    with open(path) as fh:
-        data = yaml.safe_load(fh)
-    pe1, pe2, single, longs = [], [], [], []
-    for lib in data:
-        t = lib.get("type", "")
-        if t in ("paired-end", "mate-pairs", "hq-mate-pairs"):
-            pe1 += lib.get("left reads", [])
-            pe2 += lib.get("right reads", [])
-        elif t == "single":
-            single += lib.get("single reads", [])
-        elif t in ("pacbio", "nanopore"):
-            longs += lib.get("single reads", [])
-        elif t in ("trusted-contigs", "untrusted-contigs"):
-            single += lib.get("single reads", [])
-    return pe1, pe2, single, longs
-
-
 def setup_logging(output_dir: str) -> None:
     os.makedirs(output_dir, exist_ok=True)
     handlers = [
@@ -129,13 +114,7 @@ def main(argv=None) -> int:
     if not args.output_dir:
         print("error: the output directory (-o) is required", file=sys.stderr)
         return 64  # InvalidInputFormat family (support.py:39-59)
-    if args.dataset:
-        pe1, pe2, single, longs = load_dataset_yaml(args.dataset)
-        args.pe1 += pe1
-        args.pe2 += pe2
-        args.single += single
-        args.pacbio += longs
-    if not (args.pe1 or args.single or args.interlaced or args.dataset):
+    if not (args.pe1 or args.single or args.interlaced or args.mp1 or args.merged or args.dataset):
         print("error: no input reads specified", file=sys.stderr)
         return 64
 
@@ -148,32 +127,51 @@ def main(argv=None) -> int:
         fh.write(" ".join(argv if argv is not None else sys.argv) + "\n")
         fh.write(f"mode={mode}\n")
 
-    from ..io.fastx import read_fastx, read_sequences
+    from ..io.fastx import read_fastx
+    from ..io.libraries import DataSet, SequencingLibrary, load_dataset_yaml
     from ..pipeline.run import run_assembly
 
-    # --- load reads -----------------------------------------------------
-    reads: list[str] = []
-    paired_libs: list[tuple[list[str], list[str]]] = []
+    # --- load libraries (library.hpp / DataSet model) --------------------
+    def _seqs(path):
+        return [r.seq for r in read_fastx(path)]
+
+    dataset = DataSet()
+    if args.dataset:
+        dataset = load_dataset_yaml(args.dataset)
     for p1, p2 in zip(args.pe1, args.pe2):
-        r1 = [r.seq for r in read_fastx(p1)]
-        r2 = [r.seq for r in read_fastx(p2)]
+        r1, r2 = _seqs(p1), _seqs(p2)
         if len(r1) != len(r2):
             log.error("paired files %s / %s length mismatch", p1, p2)
             return 64
-        reads += r1 + r2
-        paired_libs.append((r1, r2))
+        dataset.libraries.append(SequencingLibrary(type="paired-end", left=r1, right=r2))
     for p in args.interlaced:
-        rs = [r.seq for r in read_fastx(p)]
-        reads += rs
-        paired_libs.append((rs[0::2], rs[1::2]))
-    for p in args.single:
-        reads += [r.seq for r in read_fastx(p)]
-    long_reads = []
-    for p in args.pacbio + args.nanopore:
-        long_reads += [r.seq for r in read_fastx(p)]
-    trusted = []
-    for p in args.trusted_contigs + args.untrusted_contigs:
-        trusted += [r.seq for r in read_fastx(p)]
+        rs = _seqs(p)
+        dataset.libraries.append(
+            SequencingLibrary(type="paired-end", left=rs[0::2], right=rs[1::2])
+        )
+    for p1, p2 in zip(args.mp1, args.mp2):
+        dataset.libraries.append(
+            SequencingLibrary(type="mate-pairs", left=_seqs(p1), right=_seqs(p2))
+        )
+    for p1, p2 in zip(args.hqmp1, args.hqmp2):
+        dataset.libraries.append(
+            SequencingLibrary(type="hq-mate-pairs", left=_seqs(p1), right=_seqs(p2))
+        )
+    for p in args.single + args.merged:
+        dataset.libraries.append(SequencingLibrary(type="single", left=_seqs(p)))
+    for p in args.pacbio:
+        dataset.libraries.append(SequencingLibrary(type="pacbio", left=_seqs(p)))
+    for p in args.nanopore:
+        dataset.libraries.append(SequencingLibrary(type="nanopore", left=_seqs(p)))
+    for p in args.trusted_contigs:
+        dataset.libraries.append(SequencingLibrary(type="trusted-contigs", left=_seqs(p)))
+    for p in args.untrusted_contigs:
+        dataset.libraries.append(SequencingLibrary(type="untrusted-contigs", left=_seqs(p)))
+
+    reads = dataset.all_short_reads()
+    paired_libs = dataset.paired()
+    long_reads = dataset.long_reads()
+    trusted = dataset.contigs()
     if not reads:
         log.error("no reads parsed")
         return 64
@@ -185,33 +183,35 @@ def main(argv=None) -> int:
         from ..hammer import HammerConfig, correct_reads
         from ..io.fastx import write_fasta
 
-        n_paired = sum(len(r1) for r1, _ in paired_libs) * 2
         flat: list[str] = []
-        for r1, r2 in paired_libs:
-            flat += r1 + r2
-        n_single = len(reads) - n_paired
-        flat += reads[len(flat) : len(flat) + max(n_single, 0)]
+        spans = []  # (lib, n_left, n_right) in order
+        for lib in dataset.libraries:
+            if lib.is_paired:
+                spans.append((lib, len(lib.left), len(lib.right)))
+                flat += lib.left + lib.right
+            elif lib.type == "single":
+                spans.append((lib, len(lib.left), 0))
+                flat += lib.left
         corrected, st = correct_reads(flat, HammerConfig())
         log.info(
             "error correction: %d/%d reads changed, %d bases",
             st.reads_changed, st.reads_total, st.bases_changed,
         )
-        # rebuild libraries in order
         off = 0
-        new_paired = []
-        for r1, r2 in paired_libs:
-            n = len(r1)
-            new_paired.append((corrected[off : off + n], corrected[off + n : off + 2 * n]))
-            off += 2 * n
-        paired_libs = new_paired
-        reads = corrected
+        for lib, nl, nr in spans:
+            lib.left = corrected[off : off + nl]
+            lib.right = corrected[off + nl : off + nl + nr]
+            off += nl + nr
+        reads = dataset.all_short_reads()
+        paired_libs = dataset.paired()
         cdir = os.path.join(args.output_dir, "corrected")
         os.makedirs(cdir, exist_ok=True)
-        for li, (r1, r2) in enumerate(paired_libs):
-            write_fasta(os.path.join(cdir, f"lib{li + 1}_1.cor.fasta"), [(f"read{i+1}/1", r) for i, r in enumerate(r1)])
-            write_fasta(os.path.join(cdir, f"lib{li + 1}_2.cor.fasta"), [(f"read{i+1}/2", r) for i, r in enumerate(r2)])
-        if off < len(corrected):
-            write_fasta(os.path.join(cdir, "unpaired.cor.fasta"), [(f"read{i+1}", r) for i, r in enumerate(corrected[off:])])
+        for li, lib in enumerate(dataset.paired()):
+            write_fasta(os.path.join(cdir, f"lib{li + 1}_1.cor.fasta"), [(f"read{i+1}/1", r) for i, r in enumerate(lib.left)])
+            write_fasta(os.path.join(cdir, f"lib{li + 1}_2.cor.fasta"), [(f"read{i+1}/2", r) for i, r in enumerate(lib.right)])
+        singles = dataset.singles()
+        if singles:
+            write_fasta(os.path.join(cdir, "unpaired.cor.fasta"), [(f"read{i+1}", r) for i, r in enumerate(singles)])
         if args.only_error_correction:
             log.info("======= spades_tpu finished (error correction only). Results in %s", cdir)
             return 0

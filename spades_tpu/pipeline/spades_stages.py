@@ -150,7 +150,6 @@ class RepeatResolution(AssemblyStage):
         from ..io.contigs import Contig
         from ..paired.paired_info import (
             build_paired_index,
-            cluster_distances,
             estimate_insert_size,
         )
         from ..paired.path_extend import (
@@ -164,31 +163,42 @@ class RepeatResolution(AssemblyStage):
         if not ctx.paired or ctx.graph is None or ctx.graph.num_edges == 0:
             log.info("no paired libraries — skipping repeat resolution")
             return
+        from ..io.libraries import iter_fr_libs
+        from ..paired.distance_estimation import estimate_distances
+        from ..paired.paired_info import merge_paired_indices
+
         idx = build_edge_index(ctx.graph)
-        all_m1, all_m2, rl2 = [], [], []
+        pe_indices, mp_indices = [], []
         is_stats = None
-        for r1s, r2s in ctx.paired:
+        for r1s, r2s, lib_type in iter_fr_libs(ctx.paired):
             m1 = map_read_batch(idx, ctx.graph, r1s)
             m2 = map_read_batch(idx, ctx.graph, r2s)
             st = estimate_insert_size(
                 ctx.graph, m1, m2, [len(r) for r in r1s], [len(r) for r in r2s]
             )
             log.info(
-                "library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
-                sum(m is not None for m in m1), st.median, st.mad, st.count,
+                "%s library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
+                lib_type, sum(m is not None for m in m1), st.median, st.mad, st.count,
             )
-            if st.count == 0:
+            if st.count == 0 or st.median <= 0:
                 continue
-            all_m1 += m1
-            all_m2 += m2
-            rl2 += [len(r) for r in r2s]
-            is_stats = st
-        if is_stats is None or is_stats.median <= 0:
+            raw = build_paired_index(
+                ctx.graph, m1, m2, [len(r) for r in r2s], st.median
+            )
+            # per-library estimator choice (distance_estimation_utils.cpp):
+            # mate-pairs -> smoothing estimator, scaffolding-only
+            clustered = estimate_distances(raw, lib_type)
+            if lib_type == "mate-pairs":
+                mp_indices.append(clustered)
+            else:
+                pe_indices.append(clustered)
+                is_stats = st
+        if is_stats is None:
             log.info("no usable insert-size estimate — skipping RR")
             return
         ctx.insert_size = is_stats.median
-        pi = build_paired_index(ctx.graph, all_m1, all_m2, rl2, is_stats.median)
-        pi = cluster_distances(pi)
+        pi = merge_paired_indices(pe_indices)
+        scaffold_pi = merge_paired_indices(pe_indices + mp_indices)
         cfg = PEConfig(
             insert_size=is_stats.median, is_var=max(is_stats.mad, 10.0)
         )
@@ -209,7 +219,7 @@ class RepeatResolution(AssemblyStage):
             ]
 
         ctx.contigs = to_contigs(paths)
-        scaffolds = scaffold_paths(ctx.graph, pi, paths, cfg)
+        scaffolds = scaffold_paths(ctx.graph, scaffold_pi, paths, cfg)
         ctx.scaffolds = to_contigs(scaffolds)
         log.info(
             "%d contigs, %d scaffolds after repeat resolution",
