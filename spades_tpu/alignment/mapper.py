@@ -36,8 +36,11 @@ class EdgeIndex:
     strand: np.ndarray   # (U,) uint8: 0 = spelled == canonical, 1 = spelled == rc
 
 
-def build_edge_index(g: CondensedGraph) -> EdgeIndex:
-    k = g.k
+def build_edge_index(g: CondensedGraph, k: int | None = None) -> EdgeIndex:
+    """Index every k-window of every canonical edge.  k defaults to the graph
+    k; the long-read aligner passes a smaller k for error-tolerant anchoring
+    (the reference's pac_index also uses its own pacbio_k, not the graph k)."""
+    k = k or g.k
     ids = g.canonical_edge_ids()
     all_words, all_edge, all_off, all_strand = [], [], [], []
     for e in ids:

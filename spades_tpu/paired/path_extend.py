@@ -89,8 +89,19 @@ def candidate_weight(
     return total
 
 
+def _long_read_choice(long_reads, last: int, cands: list[int]) -> int | None:
+    """LongReadsExtensionChooser analog: a unique dominant long-read vote."""
+    if long_reads is None:
+        return None
+    votes = long_reads.next_edge_votes(last)
+    scored = sorted(((votes.get(c, 0), c) for c in cands), reverse=True)
+    if scored[0][0] >= 2 and (len(scored) == 1 or scored[0][0] >= 2 * max(scored[1][0], 1)):
+        return scored[0][1]
+    return None
+
+
 def extend_path_forward(
-    g: CondensedGraph, pi: PairedIndex, path: Path, cfg: PEConfig
+    g: CondensedGraph, pi: PairedIndex, path: Path, cfg: PEConfig, long_reads=None
 ) -> bool:
     """Try one forward extension step; returns True if extended."""
     last = path.edges[-1]
@@ -112,18 +123,24 @@ def extend_path_forward(
         [candidate_weight(g, pi, path, pos, c, cand_pos, cfg) for c in cands]
     )
     best = int(np.argmax(weights))
-    if weights[best] < cfg.min_weight:
-        return False
-    strong = np.flatnonzero(weights >= cfg.rel_weight * weights[best])
-    if strong.size != 1:
+    choice: int | None = None
+    if weights[best] >= cfg.min_weight:
+        strong = np.flatnonzero(weights >= cfg.rel_weight * weights[best])
+        if strong.size == 1:
+            choice = cands[best]
+    if choice is None:
+        # paired info ambiguous: a long-read path over the junction decides
+        # (extenders_logic.cpp long-read extender in the composite chain)
+        choice = _long_read_choice(long_reads, last, cands)
+    if choice is None:
         return False  # ambiguous — stop (the reference defers to loop resolvers)
-    path.edges.append(cands[best])
+    path.edges.append(choice)
     path.gaps.append(0)
     return True
 
 
 def resolve_repeats(
-    g: CondensedGraph, pi: PairedIndex, cfg: PEConfig
+    g: CondensedGraph, pi: PairedIndex, cfg: PEConfig, long_reads=None
 ) -> list[Path]:
     """Greedy seed-and-extend over all edges, longest seeds first."""
     ids = g.canonical_edge_ids()
@@ -136,10 +153,10 @@ def resolve_repeats(
             continue
         path = Path([seed])
         # extend forward, then extend the conjugate forward (== backward)
-        while extend_path_forward(g, pi, path, cfg):
+        while extend_path_forward(g, pi, path, cfg, long_reads):
             pass
         path = conj_path(g, path)
-        while extend_path_forward(g, pi, path, cfg):
+        while extend_path_forward(g, pi, path, cfg, long_reads):
             pass
         path = conj_path(g, path)  # restore original orientation
         for e in path.edges:

@@ -19,6 +19,7 @@ from .spades_stages import (
     ContigOutput,
     GapClosing,
     GenomicInfoFiller,
+    HybridAligning,
     MismatchCorrection,
     RepeatResolution,
     Simplification,
@@ -89,6 +90,7 @@ def run_assembly(
             output_dir=kdir,
             reads=[r for r in reads if len(r) > k],
             paired=list(paired_libs or []),
+            long_reads=list(long_reads or []),
             extra_sequences=list(prev_contigs),
             read_length=read_length,
         )
@@ -99,6 +101,10 @@ def run_assembly(
             Simplification(mode_simplify_config(mode, read_length)),
             GapClosing("late"),
         )
+        if is_last and long_reads:
+            # long-read alignment feeds RR and closes remaining gaps
+            # (pipeline.cpp: HybridLibrariesAligning on the main iteration)
+            mgr.add(HybridAligning())
         if is_last and careful:
             # careful mode polishes edge sequences before output
             # (pipeline.cpp gates MismatchCorrection on cfg.correct_mismatches)

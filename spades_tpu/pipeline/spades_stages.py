@@ -96,6 +96,34 @@ class GapClosing(AssemblyStage):
         log.info("gap closer (%s): closed %d gaps", self.label, n)
 
 
+class HybridAligning(AssemblyStage):
+    """Long-read alignment + hybrid gap closing (hybrid_aligning.cpp:31-353).
+
+    Aligns PacBio/Nanopore reads to the graph, stores the edge paths for
+    repeat resolution, and splices dead-end gaps witnessed by long reads."""
+
+    name = "Hybrid Aligning"
+    id = "hybrid_aligning"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if not ctx.long_reads or ctx.graph is None or ctx.graph.num_edges == 0:
+            return
+        from ..alignment.long_read import (
+            align_long_reads,
+            build_long_read_storage,
+            close_gaps_with_long_reads,
+        )
+
+        alignments = align_long_reads(ctx.graph, ctx.long_reads)
+        aligned = sum(1 for a in alignments if a.path)
+        ctx.long_read_storage = build_long_read_storage(ctx.graph, alignments)
+        closed = close_gaps_with_long_reads(ctx.graph, alignments)
+        log.info(
+            "hybrid aligning: %d/%d long reads aligned, %d paths stored, %d gaps closed",
+            aligned, len(ctx.long_reads), len(ctx.long_read_storage.paths), closed,
+        )
+
+
 class MismatchCorrection(AssemblyStage):
     """Careful-mode edge-sequence polishing (mismatch_correction.cpp:119-280)."""
 
@@ -202,7 +230,7 @@ class RepeatResolution(AssemblyStage):
         cfg = PEConfig(
             insert_size=is_stats.median, is_var=max(is_stats.mad, 10.0)
         )
-        paths = resolve_repeats(ctx.graph, pi, cfg)
+        paths = resolve_repeats(ctx.graph, pi, cfg, ctx.long_read_storage)
         log.info("%d paths after extension", len(paths))
 
         def to_contigs(path_list, prefix="NODE"):

@@ -48,6 +48,7 @@ class AssemblyContext:
     scaffolds: list = field(default_factory=list)
     read_length: int = 100
     insert_size: float = 0.0
+    long_read_storage: Any = None                       # LongReadStorage
     config: Any = None
 
     def saves_dir(self, stage_id: str) -> str:
