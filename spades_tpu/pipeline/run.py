@@ -15,6 +15,7 @@ import numpy as np
 
 from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
+    ChromosomeRemoval,
     Construction,
     ContigOutput,
     GapClosing,
@@ -105,6 +106,10 @@ def run_assembly(
             # long-read alignment feeds RR and closes remaining gaps
             # (pipeline.cpp: HybridLibrariesAligning on the main iteration)
             mgr.add(HybridAligning())
+        if is_last and mode in ("plasmid", "metaplasmid", "metaviral"):
+            # extract plasmid candidates before repeat resolution
+            # (pipeline.cpp plasmid branch: ChromosomeRemoval stage)
+            mgr.add(ChromosomeRemoval())
         if is_last and careful:
             # careful mode polishes edge sequences before output
             # (pipeline.cpp gates MismatchCorrection on cfg.correct_mismatches)

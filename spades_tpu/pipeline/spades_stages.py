@@ -124,6 +124,25 @@ class HybridAligning(AssemblyStage):
         )
 
 
+class ChromosomeRemoval(AssemblyStage):
+    """plasmid/metaplasmid chromosome extraction
+    (projects/spades/chromosome_removal.cpp)."""
+
+    name = "Chromosome Removal"
+    id = "chromosome_removal"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if ctx.graph is None or ctx.graph.num_edges == 0:
+            return
+        from ..graph.chromosome_remover import remove_chromosomal
+
+        n = remove_chromosomal(ctx.graph)
+        log.info(
+            "chromosome removal: %d edges removed, %d remain",
+            n, len(ctx.graph.canonical_edge_ids()),
+        )
+
+
 class MismatchCorrection(AssemblyStage):
     """Careful-mode edge-sequence polishing (mismatch_correction.cpp:119-280)."""
 
