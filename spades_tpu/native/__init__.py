@@ -1,0 +1,105 @@
+"""ctypes bindings for the native (C++) runtime components.
+
+The compute path is jax/XLA/Pallas; the host runtime around it — here the
+read loader (fastx.cpp, zlib-backed FASTA/FASTQ parsing into flat offset
+buffers) — is native C++, mirroring the reference's C++ io layer
+(`/root/reference/src/common/io/reads/`).  The library is built on first use
+(`make -C spades_tpu/native`); every caller must handle `None` from `lib()`
+and fall back to the pure-Python path.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+log = logging.getLogger("spades_tpu.native")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libstbr.so")
+_lib = None
+_tried = False
+
+
+class _StbrReads(ctypes.Structure):
+    _fields_ = [
+        ("seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("seq_off", ctypes.POINTER(ctypes.c_uint64)),
+        ("names", ctypes.POINTER(ctypes.c_uint8)),
+        ("name_off", ctypes.POINTER(ctypes.c_uint64)),
+        ("n_reads", ctypes.c_uint64),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def lib():
+    """The loaded native library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        src = os.path.join(_DIR, "fastx.cpp")
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR], check=True, capture_output=True, timeout=120
+            )
+        except Exception as e:  # noqa: BLE001 — any build failure => fallback
+            log.debug("native build failed: %s", e)
+            return None
+    try:
+        l = ctypes.CDLL(_SO)
+        l.stbr_read_fastx.restype = ctypes.POINTER(_StbrReads)
+        l.stbr_read_fastx.argtypes = [ctypes.c_char_p]
+        l.stbr_free_reads.argtypes = [ctypes.POINTER(_StbrReads)]
+        _lib = l
+    except OSError as e:
+        log.debug("native load failed: %s", e)
+    return _lib
+
+
+def read_fastx_native(path: str):
+    """Parse FASTA/FASTQ(.gz) natively.
+
+    Returns (names: list[str], seq_pool: np.uint8 array, offsets: np.uint64
+    array of n+1 entries) or None if the native library is unavailable or
+    parsing failed."""
+    l = lib()
+    if l is None:
+        return None
+    rp = l.stbr_read_fastx(os.fsencode(path))
+    if not rp:
+        return None
+    r = rp.contents
+    try:
+        if r.error != 0:
+            return None
+        n = int(r.n_reads)
+        if n == 0:
+            return [], np.zeros(0, np.uint8), np.zeros(1, np.uint64)
+        soff = np.ctypeslib.as_array(r.seq_off, shape=(n + 1,)).copy()
+        noff = np.ctypeslib.as_array(r.name_off, shape=(n + 1,)).copy()
+        total = int(soff[-1])
+        seq = (
+            np.ctypeslib.as_array(r.seq, shape=(total,)).copy()
+            if total
+            else np.zeros(0, np.uint8)
+        )
+        ntotal = int(noff[-1])
+        names_buf = (
+            np.ctypeslib.as_array(r.names, shape=(ntotal,)).copy().tobytes()
+            if ntotal
+            else b""
+        )
+        names = [
+            names_buf[noff[i] : noff[i + 1]].decode("ascii", "replace")
+            for i in range(n)
+        ]
+        return names, seq, soff
+    finally:
+        l.stbr_free_reads(rp)

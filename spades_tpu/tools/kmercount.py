@@ -24,12 +24,12 @@ def main(argv=None) -> int:
     check_odd_k(args.kmer)
     check_inputs_exist(args.inputs)
 
-    from ..core.reads import batch_iter
     from ..io.binary_kmers import write_kmer_file
-    from ..io.fastx import read_sequences
+    from ..io.fastx import read_batches
     from ..ops.count import count_reads
 
-    kc = count_reads(batch_iter(read_sequences(args.inputs)), args.kmer)
+    # read_batches = native parser -> padded code batches, no Python strings
+    kc = count_reads(read_batches(args.inputs), args.kmer)
     os.makedirs(args.workdir, exist_ok=True)
     out = os.path.join(args.workdir, "final_kmers")
     write_kmer_file(out, kc.words, args.kmer)
