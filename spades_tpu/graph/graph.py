@@ -121,6 +121,29 @@ class CondensedGraph:
                 dna.revcomp_codes(self.edge_codes(e)), self.edge_codes(ec)
             ), f"edge {e} conj seq mismatch"
 
+    @classmethod
+    def from_sequences(cls, seqs: list[str], k: int) -> "CondensedGraph":
+        """Trivial graph: each sequence is one isolated conjugate edge pair.
+
+        Used by the contig polisher (corrector) and tests — no dBG
+        construction, just the flat-array container around given sequences."""
+        g = cls(
+            k=k,
+            e_start=np.zeros(0, np.int64), e_end=np.zeros(0, np.int64),
+            e_conj=np.zeros(0, np.int64), e_off=np.zeros(0, np.int64),
+            e_len=np.zeros(0, np.int64), e_cov=np.zeros(0, np.float64),
+            alive=np.zeros(0, bool), seq_pool=np.zeros(0, np.uint8),
+            v_conj=np.zeros(0, np.int64),
+        )
+        for s in seqs:
+            v0 = len(g.v_conj)
+            # 4 vertices per edge pair: start/end and their conjugates
+            g.v_conj = np.append(g.v_conj, [v0 + 2, v0 + 3, v0, v0 + 1])
+            codes = dna.encode(s)
+            codes = np.where(codes >= 4, 0, codes).astype(np.uint8)
+            g.add_edge_pair(v0, v0 + 1, codes)
+        return g
+
     def add_edge_pair(self, start: int, end: int, codes: np.ndarray, cov_sum: float = 0.0) -> tuple[int, int]:
         """Append a new edge and its conjugate (graph_core AddEdge semantics).
 

@@ -70,6 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     adv.add_argument("--restart-from", help="restart from stage id (k<K>:<stage> or 'last')")
     adv.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     adv.add_argument("--disable-gzip-output", action="store_true")
+    adv.add_argument("--time-tracing", action="store_true", help="write a Chrome-trace spades_time_trace.json (TimeTracerRAII analog)")
     adv.add_argument("-v", "--version", action="version", version="spades_tpu 0.1.0")
     return p
 
@@ -120,6 +121,10 @@ def main(argv=None) -> int:
 
     setup_logging(args.output_dir)
     log = logging.getLogger("spades_tpu")
+    if args.time_tracing:
+        from ..utils import timetracer
+
+        timetracer.enable()
     mode = detect_mode(args)
     log.info("spades_tpu 0.1.0, mode=%s, output=%s", mode, args.output_dir)
 
@@ -265,6 +270,12 @@ def main(argv=None) -> int:
                 len(contigs), [len(c.seq) for c in contigs],
             )
             return 1
+    if args.time_tracing:
+        from ..utils import timetracer
+
+        tpath = os.path.join(args.output_dir, "spades_time_trace.json")
+        timetracer.write(tpath)
+        log.info("time trace -> %s", tpath)
     log.info("======= spades_tpu finished. Results in %s", args.output_dir)
     return 0
 

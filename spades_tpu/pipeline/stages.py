@@ -158,11 +158,14 @@ class StageManager:
                 prev = self.stages[begin - 1]
                 prev.load(ctx, ctx.saves_dir(prev.id))
 
+        from ..utils.timetracer import trace_scope
+
         for i in range(begin, len(self.stages)):
             stage = self.stages[i]
             t0 = time.time()
             log.info("== STAGE %s (%s) ==", stage.name, stage.id)
-            stage.run(ctx)
+            with trace_scope(stage.name, stage.id):
+                stage.run(ctx)
             log.info("== done %s (%.2fs)", stage.name, time.time() - t0)
             if self.saves_policy != SavesPolicy.NONE:
                 is_last = i == len(self.stages) - 1
