@@ -217,6 +217,31 @@ def path_sequence(g: CondensedGraph, path: Path) -> str:
     return "".join(parts)
 
 
+def path_to_string(g: CondensedGraph, path: Path) -> str:
+    """Spell a path as the reference's .paths record line: oriented canonical
+    edge ids, ';' before gap-separated runs (bidirectional_path_io)."""
+    parts: list[str] = []
+    for i, e in enumerate(path.edges):
+        can = min(int(e), int(g.e_conj[e]))
+        tok = f"{can}{'+' if int(e) == can else '-'}"
+        if i > 0 and path.gaps[i] > 0:
+            parts.append(";\n" + tok)
+        elif i > 0:
+            parts.append("," + tok)
+        else:
+            parts.append(tok)
+    return "".join(parts)
+
+
+def write_paths(path_file: str, named_paths, g: CondensedGraph) -> None:
+    """Write contigs.paths/scaffolds.paths: name line + path line, plus the
+    conjugate record (name') as the reference does."""
+    with open(path_file, "w") as fh:
+        for name, p in named_paths:
+            fh.write(f"{name}\n{path_to_string(g, p)}\n")
+            fh.write(f"{name}'\n{path_to_string(g, conj_path(g, p))}\n")
+
+
 def path_coverage(g: CondensedGraph, path: Path) -> float:
     lens = np.array([g.e_len[e] - g.k for e in path.edges], float)
     covs = g.coverage()[np.array(path.edges, np.int64)]

@@ -94,6 +94,7 @@ def run_assembly(
             long_reads=list(long_reads or []),
             extra_sequences=list(prev_contigs),
             read_length=read_length,
+            mode=mode,
         )
         mgr = StageManager(SavesPolicy(checkpoints))
         mgr.add(
@@ -136,7 +137,15 @@ def run_assembly(
     assert result is not None
     # final copy (copy_files semantics): last K products to the output root
     last_kdir = os.path.join(output_dir, f"K{result.k}")
-    for f in ("contigs.fasta", "scaffolds.fasta", "assembly_graph_with_scaffolds.gfa"):
+    for f in (
+        "contigs.fasta",
+        "scaffolds.fasta",
+        "transcripts.fasta",
+        "assembly_graph_with_scaffolds.gfa",
+        "assembly_graph.fastg",
+        "contigs.paths",
+        "scaffolds.paths",
+    ):
         src = os.path.join(last_kdir, f)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(output_dir, f))

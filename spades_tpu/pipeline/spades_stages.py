@@ -168,15 +168,30 @@ class ContigOutput(AssemblyStage):
         self.out_prefix = out_prefix
 
     def run(self, ctx: AssemblyContext) -> None:
+        from ..io.fastg import write_fastg
+        from ..paired.path_extend import Path, write_paths
+
         if not ctx.contigs:  # repeat resolution may already have produced paths
             ctx.contigs = extract_contigs(ctx.graph)
+            ctx.contig_paths = [
+                (c.name, Path([c.edge_id])) for c in ctx.contigs if c.edge_id >= 0
+            ]
         if not ctx.scaffolds:
             ctx.scaffolds = ctx.contigs
+            ctx.scaffold_paths = ctx.contig_paths
         d = os.path.join(ctx.output_dir, self.out_prefix) if self.out_prefix else ctx.output_dir
         os.makedirs(d, exist_ok=True)
         write_contigs(os.path.join(d, "contigs.fasta"), ctx.contigs)
         write_contigs(os.path.join(d, "scaffolds.fasta"), ctx.scaffolds)
+        if ctx.mode == "rna":
+            # rnaSPAdes names its primary output transcripts.fasta
+            write_contigs(os.path.join(d, "transcripts.fasta"), ctx.contigs)
         write_gfa(os.path.join(d, "assembly_graph_with_scaffolds.gfa"), ctx.graph)
+        write_fastg(os.path.join(d, "assembly_graph.fastg"), ctx.graph)
+        if ctx.contig_paths:
+            write_paths(os.path.join(d, "contigs.paths"), ctx.contig_paths, ctx.graph)
+        if ctx.scaffold_paths:
+            write_paths(os.path.join(d, "scaffolds.paths"), ctx.scaffold_paths, ctx.graph)
         log.info("%d contigs -> %s", len(ctx.contigs), d)
 
 
@@ -253,21 +268,25 @@ class RepeatResolution(AssemblyStage):
         log.info("%d paths after extension", len(paths))
 
         def to_contigs(path_list, prefix="NODE"):
-            seqs = sorted(
-                ((path_sequence(ctx.graph, p), path_coverage(ctx.graph, p)) for p in path_list),
+            """Contigs ordered by length, with their edge paths retained for
+            the .paths output (bidirectional_path_io)."""
+            rows = sorted(
+                (
+                    (path_sequence(ctx.graph, p), path_coverage(ctx.graph, p), p)
+                    for p in path_list
+                ),
                 key=lambda t: -len(t[0]),
             )
-            return [
-                Contig(
-                    name=f"{prefix}_{i+1}_length_{len(s)}_cov_{c:.6f}",
-                    seq=s, coverage=c, edge_id=-1,
-                )
-                for i, (s, c) in enumerate(seqs)
-            ]
+            contigs, named_paths = [], []
+            for i, (s, c, p) in enumerate(rows):
+                name = f"{prefix}_{i+1}_length_{len(s)}_cov_{c:.6f}"
+                contigs.append(Contig(name=name, seq=s, coverage=c, edge_id=-1))
+                named_paths.append((name, p))
+            return contigs, named_paths
 
-        ctx.contigs = to_contigs(paths)
+        ctx.contigs, ctx.contig_paths = to_contigs(paths)
         scaffolds = scaffold_paths(ctx.graph, scaffold_pi, paths, cfg)
-        ctx.scaffolds = to_contigs(scaffolds)
+        ctx.scaffolds, ctx.scaffold_paths = to_contigs(scaffolds)
         log.info(
             "%d contigs, %d scaffolds after repeat resolution",
             len(ctx.contigs), len(ctx.scaffolds),

@@ -46,6 +46,9 @@ class AssemblyContext:
     genomic_info: Any = None
     contigs: list = field(default_factory=list)
     scaffolds: list = field(default_factory=list)
+    contig_paths: list = field(default_factory=list)     # (name, Path) for .paths
+    scaffold_paths: list = field(default_factory=list)
+    mode: str = "multicell"
     read_length: int = 100
     insert_size: float = 0.0
     long_read_storage: Any = None                       # LongReadStorage

@@ -1,0 +1,83 @@
+"""FASTG / .paths / DOT output format tests (reference io/graph surface)."""
+import numpy as np
+
+from spades_tpu.core import dna
+from spades_tpu.graph.dot import write_dot
+from spades_tpu.io.fastg import write_fastg
+from spades_tpu.paired.path_extend import Path, path_to_string, write_paths
+from spades_tpu.pipeline.construction import construct_graph
+
+K = 21
+
+
+def _random_seq(n, seed):
+    rng = np.random.default_rng(seed)
+    return dna.decode(rng.integers(0, 4, n).astype(np.uint8))
+
+
+def _forked_graph():
+    a = _random_seq(600, 1)
+    a2 = a[:300] + ("A" if a[300] != "A" else "C") + a[301:]
+    return construct_graph([a, a2], K).graph
+
+
+class TestFastg:
+    def test_records_and_adjacency(self, tmp_path):
+        g = _forked_graph()
+        out = str(tmp_path / "g.fastg")
+        write_fastg(out, g)
+        txt = open(out).read()
+        headers = [l for l in txt.split("\n") if l.startswith(">")]
+        # one record per oriented edge
+        assert len(headers) == len(g.alive_edge_ids())
+        assert any(":" in h for h in headers)  # adjacency lists present
+        assert all(h.endswith(";") for h in headers)
+        assert any("'" in h for h in headers)  # conjugate orientation marks
+
+    def test_sequence_matches_edge(self, tmp_path):
+        g = _forked_graph()
+        out = str(tmp_path / "g.fastg")
+        write_fastg(out, g)
+        blocks = open(out).read().split(">")[1:]
+        first = blocks[0].split("\n")
+        eid = int(first[0].split("_")[1])
+        seq = "".join(first[1:]).strip()
+        assert seq == g.edge_seq(eid)
+
+
+class TestPaths:
+    def test_path_to_string_orientations(self):
+        g = _forked_graph()
+        ids = [int(e) for e in g.canonical_edge_ids()]
+        e = ids[0]
+        ec = int(g.e_conj[e])
+        assert path_to_string(g, Path([e])) == f"{e}+"
+        if ec != e:
+            assert path_to_string(g, Path([ec])) == f"{e}-"
+
+    def test_gap_becomes_semicolon(self):
+        g = _forked_graph()
+        ids = [int(e) for e in g.canonical_edge_ids()]
+        if len(ids) >= 2:
+            p = Path([ids[0], ids[1]], [0, 100])
+            assert ";" in path_to_string(g, p)
+
+    def test_write_paths_with_conjugate_records(self, tmp_path):
+        g = _forked_graph()
+        e = int(g.canonical_edge_ids()[0])
+        f = str(tmp_path / "c.paths")
+        write_paths(f, [("NODE_1_length_5_cov_1.0", Path([e]))], g)
+        txt = open(f).read()
+        assert "NODE_1_length_5_cov_1.0\n" in txt
+        assert "NODE_1_length_5_cov_1.0'\n" in txt
+
+
+class TestDot:
+    def test_writes_digraph(self, tmp_path):
+        g = _forked_graph()
+        f = str(tmp_path / "g.dot")
+        write_dot(f, g)
+        txt = open(f).read()
+        assert txt.startswith("digraph")
+        assert txt.count("->") == len(g.alive_edge_ids())
+        assert "cov=" in txt
