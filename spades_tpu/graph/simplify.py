@@ -51,6 +51,9 @@ class SimplifyConfig:
     max_relative_delta: float = 0.1
     # erroneous connection remover: {to_ec_lb 5, icb auto}
     ec_lb: float = 10.0
+    # relative-coverage component disconnector (meta mode; rcc section)
+    rel_cov_enabled: bool = False
+    rel_cov_ratio: float = 5.0
     # isolated edge remover
     ier_enabled: bool = True
 
@@ -182,6 +185,120 @@ def remove_bulges(g: CondensedGraph, cfg: SimplifyConfig) -> int:
     return removed
 
 
+def _bounded_shortest_path(
+    g: CondensedGraph, v_from: int, v_to: int, skip_edge: int, max_len: int
+) -> list[int] | None:
+    """Dijkstra bounded by path length (k-mer units), excluding skip_edge and
+    its conjugate.  Returns the edge list of the shortest path or None.
+
+    Mirror of the bounded Dijkstra the bulge remover uses to find alternative
+    paths (`dijkstra/dijkstra_algorithm.hpp` bounded variants)."""
+    import heapq
+
+    skip = {skip_edge, int(g.e_conj[skip_edge])}
+    lens = g.edge_kmer_lengths()
+    dist: dict[int, int] = {v_from: 0}
+    back: dict[int, tuple[int, int]] = {}
+    heap = [(0, v_from)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v == v_to:
+            path = []
+            while v != v_from:
+                e, v = back[v]
+                path.append(e)
+            return path[::-1]
+        if d > dist.get(v, np.inf) or d > max_len:
+            continue
+        for e in g.out_edges_of(v):
+            e = int(e)
+            if e in skip:
+                continue
+            u = int(g.e_end[e])
+            nd = d + int(lens[e])
+            if nd <= max_len and nd < dist.get(u, np.inf):
+                dist[u] = nd
+                back[u] = (e, v)
+                heapq.heappush(heap, (nd, u))
+    return None
+
+
+def remove_bulges_dijkstra(g: CondensedGraph, cfg: SimplifyConfig) -> int:
+    """Path-alternative bulge removal (BulgeRemover with Dijkstra search,
+    `bulge_remover.hpp:346`): a short low-coverage edge whose endpoints are
+    joined by an alternative *path* of similar length is removed and its
+    coverage projected onto the path edges."""
+    k = g.k
+    max_len = int(cfg.max_bulge_length_coeff * k + cfg.max_additive_length_coeff)
+    lens = g.edge_kmer_lengths()
+    removed = 0
+    outd, ind = _degrees(g)
+    cand = [
+        int(e)
+        for e in g.alive_edge_ids()
+        if lens[e] <= max_len
+        and g.e_start[e] != g.e_end[e]
+        and outd[g.e_start[e]] > 1
+        and ind[g.e_end[e]] > 1
+    ]
+    cov = g.coverage()
+    # lowest-coverage candidates first (the reference's buffered ordering)
+    for e in sorted(cand, key=lambda x: cov[x]):
+        if not g.alive[e]:
+            continue
+        delta = int(max(cfg.max_delta, cfg.max_relative_delta * lens[e]))
+        path = _bounded_shortest_path(
+            g, int(g.e_start[e]), int(g.e_end[e]), e, int(lens[e]) + delta
+        )
+        if path is None:
+            continue
+        plen = int(sum(lens[x] for x in path))
+        if abs(plen - int(lens[e])) > delta:
+            continue
+        pcov = float(min(cov[x] for x in path))
+        if cov[e] > cfg.max_relative_coverage * pcov:
+            continue
+        # project the arm's coverage onto the path (glue semantics)
+        for x in path:
+            share = g.e_cov[e] * (lens[x] / max(plen, 1))
+            g.e_cov[x] += share
+            g.e_cov[g.e_conj[x]] += share
+        removed += g.kill_edges(np.array([e]))
+    return removed
+
+
+def disconnect_relative_coverage(
+    g: CondensedGraph, ratio: float = 5.0, max_len: int | None = None
+) -> int:
+    """Relative-coverage disconnector (`relative_coverage_remover.hpp`,
+    the meta-mode workhorse): remove edges whose coverage is `ratio`-times
+    below the strongest flow at BOTH endpoints (chimeric joins between
+    differently-covered genomic contexts)."""
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    cov = g.coverage()
+    comp = _max_competitor_cov(g)
+
+    # competitor maxima per endpoint separately
+    V = g.num_vertices
+    out_sum = np.zeros(V)
+    in_sum = np.zeros(V)
+    np.add.at(out_sum, g.e_start[ids], cov[ids])
+    np.add.at(in_sum, g.e_end[ids], cov[ids])
+    s, e = g.e_start[ids], g.e_end[ids]
+    # strongest alternative flow around each endpoint of the edge
+    start_alt = np.maximum(out_sum[s] - cov[ids], in_sum[s])
+    end_alt = np.maximum(in_sum[e] - cov[ids], out_sum[e])
+    cond = (cov[ids] * ratio <= start_alt) & (cov[ids] * ratio <= end_alt)
+    if max_len is not None:
+        cond &= g.edge_kmer_lengths()[ids] <= max_len
+    # only disconnect genuine joins (both endpoints have alternatives)
+    outd, ind = _degrees(g)
+    cond &= (outd[s] + ind[s] > 1) & (outd[e] + ind[e] > 1)
+    return g.kill_edges(ids[cond])
+
+
 def remove_low_cov_ec(g: CondensedGraph, max_len: int, cov_bound: float) -> int:
     """Erroneous-connection pass: short, low-coverage, alternatively bridged."""
     ids = g.alive_edge_ids()
@@ -259,11 +376,14 @@ def simplify(
         changed += n
         if cfg.br_enabled:
             n = remove_bulges(g, cfg)
+            n += remove_bulges_dijkstra(g, cfg)
             if n:
                 g = compress(g)
             stats.bulges += n
             changed += n
         n = remove_low_cov_ec(g, ec_len, icb)
+        if cfg.rel_cov_enabled:
+            n += disconnect_relative_coverage(g, cfg.rel_cov_ratio, ec_len * 5)
         if n:
             g = compress(g)
         stats.ec += n

@@ -45,6 +45,7 @@ def mode_simplify_config(mode: str, read_length: int) -> SimplifyConfig:
         # conservative (meta_mode.info overlay semantics)
         cfg.max_relative_coverage = 1.05
         cfg.rctc = 2.0
+        cfg.rel_cov_enabled = True  # relative-coverage disconnector (rcc)
     elif mode == "rna":
         cfg.tc_lb = 2.0
         cfg.ier_enabled = False
