@@ -10,6 +10,12 @@ detection — i.e. everything the reference's KMerSplitter + KMerDiskCounter
 pipeline does per k-mer (/root/reference/src/common/kmer_index/kmer_mph/
 kmer_index_builder.hpp:306), with tmp-file buckets replaced by on-device sort.
 
+Methodology: the step is iterated inside ONE jitted lax.fori_loop and synced
+with a single scalar pull.  Through the axon tunnel a dispatch+scalar round
+trip costs ~30 ms of pure network latency, which at the measured ~1.7 ms/step
+would otherwise dominate; looping on device measures the chip, not the
+tunnel.  The measured dispatch floor is subtracted from the total.
+
 Baseline: the reference publishes no counting throughput; BASELINE.md's
 north-star is >=5x the 32-thread C++ SPAdes counting rate.  We anchor the
 baseline at 150e6 canonical k-mers/s/host, a KMC2-class estimate for 32-core
@@ -27,6 +33,8 @@ import numpy as np
 
 BASELINE_KMERS_PER_SEC = 150e6
 K = 21
+R, L = 4096, 256   # sweet spot for the on-device bitonic sort
+ITERS = 16
 
 
 def main() -> None:
@@ -36,35 +44,49 @@ def main() -> None:
     from spades_tpu.ops.count import count_batch_device
 
     rng = np.random.default_rng(7)
-    R, L = 32768, 256
-    n_kmers_per_batch = R * (L - K + 1)
-    codes = jnp.asarray(rng.integers(0, 4, (R, L)).astype(np.uint8))
+    n_kmers_per_iter = R * (L - K + 1)
+    codes0 = jnp.asarray(rng.integers(0, 4, (R, L)).astype(np.uint8))
     lengths = jnp.full((R,), L, jnp.int32)
     n_mask = jnp.zeros((R, L), bool)
 
-    fn = jax.jit(lambda c, l, m: count_batch_device(c, l, m, K))
+    # measure the dispatch+scalar round-trip floor to subtract it
+    f0 = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    for _ in range(2):
+        x = f0(x)
+        _ = float(x)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(f0(x))
+    floor = (time.perf_counter() - t0) / 3
 
-    # warmup / compile (block via scalar pull: through the axon tunnel,
+    def step(i, acc):
+        c = jnp.bitwise_xor(codes0, (i & 3).astype(jnp.uint8))  # vary input
+        sw, st, nv = count_batch_device(c, lengths, n_mask, K)
+        # depend on every output so nothing is dead-code eliminated
+        return acc + nv + sw[0, 0].astype(jnp.int32) + st[0].astype(jnp.int32)
+
+    fn = jax.jit(lambda _x: jax.lax.fori_loop(0, ITERS, step, jnp.int32(0)))
+
+    # warmup / compile (scalar pull: through the axon tunnel,
     # block_until_ready alone does not guarantee execution completed)
-    out = fn(codes, lengths, n_mask)
-    _ = int(out[2])
+    _ = int(fn(codes0))
 
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        out = fn(codes, lengths, n_mask)
-        _ = int(out[2])
-        t1 = time.perf_counter()
-        best = min(best, t1 - t0)
+        _ = int(fn(codes0))
+        best = min(best, time.perf_counter() - t0)
 
-    kmers_per_sec = n_kmers_per_batch / best
+    per_iter = max(best - floor, 1e-9) / ITERS
+    kmers_per_sec = n_kmers_per_iter / per_iter
     print(
         json.dumps(
             {
-                "metric": "canonical_kmer_count_throughput",
-                "value": round(kmers_per_sec, 1),
-                "unit": "kmers/sec/chip",
-                "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 3),
+                "metric": "canonical_kmer_counting_throughput",
+                "value": round(kmers_per_sec / 1e6, 1),
+                "unit": "Mkmers/s/chip",
+                "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 2),
             }
         )
     )
