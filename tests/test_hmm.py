@@ -1,0 +1,103 @@
+"""Profile-HMM parsing + Viterbi + graph alignment tests (pathracer surface)."""
+import os
+
+import numpy as np
+
+from spades_tpu.core import dna
+from spades_tpu.hmm import align_hmm_to_graph, read_hmm, viterbi_score
+from spades_tpu.hmm.align import translate
+from spades_tpu.hmm.io import hmm_from_consensus, write_hmm
+from spades_tpu.pipeline.construction import construct_graph
+
+K = 21
+
+
+def _random_seq(n, seed):
+    rng = np.random.default_rng(seed)
+    return dna.decode(rng.integers(0, 4, n).astype(np.uint8))
+
+
+MOTIF = "ACGTACGGTTCAGGACCATGCTAGGAT"
+
+
+class TestIO:
+    def test_roundtrip(self, tmp_path):
+        h = hmm_from_consensus(MOTIF, "m1")
+        f = str(tmp_path / "m.hmm")
+        write_hmm(f, h)
+        [back] = read_hmm(f)
+        assert back.name == "m1"
+        assert back.length == len(MOTIF)
+        assert np.allclose(back.match_emit[1:], h.match_emit[1:], atol=1e-4)
+        assert np.allclose(back.trans[1:], h.trans[1:], atol=1e-4)
+
+
+class TestViterbi:
+    def test_motif_found_in_sequence(self):
+        h = hmm_from_consensus(MOTIF)
+        background = _random_seq(200, 1)
+        seq = background[:100] + MOTIF + background[100:]
+        score, a, b = viterbi_score(h, seq)
+        assert score > 10
+        assert abs(a - 100) <= 2 and abs(b - (100 + len(MOTIF))) <= 2
+
+    def test_mutated_motif_still_found(self):
+        h = hmm_from_consensus(MOTIF)
+        m = list(MOTIF)
+        m[10] = "A" if m[10] != "A" else "C"
+        seq = _random_seq(80, 2) + "".join(m) + _random_seq(80, 3)
+        score, _, _ = viterbi_score(h, seq)
+        assert score > 5
+
+    def test_background_scores_low(self):
+        h = hmm_from_consensus(MOTIF)
+        score, _, _ = viterbi_score(h, _random_seq(300, 4))
+        assert score < 10
+
+    def test_translate(self):
+        assert translate("ATGGCC") == "MA"
+        assert translate("ATGGCCT") == "MA"
+
+
+class TestGraphAlignment:
+    def test_motif_on_single_edge(self):
+        genome = _random_seq(300, 5) + MOTIF + _random_seq(300, 6)
+        g = construct_graph([genome], K).graph
+        h = hmm_from_consensus(MOTIF)
+        hits = align_hmm_to_graph(g, h, score_threshold=10)
+        assert hits
+        assert MOTIF in hits[0].seq or MOTIF in dna.revcomp_str(hits[0].seq)
+
+    def test_motif_spanning_junction(self):
+        # motif placed across a bulge junction: the graph has >= 2 edges and
+        # the best path must cross them
+        a = _random_seq(300, 7) + MOTIF + _random_seq(300, 8)
+        b = list(a)
+        b[150] = "A" if b[150] != "A" else "C"
+        g = construct_graph([a, "".join(b)], K).graph
+        assert len(g.canonical_edge_ids()) >= 2
+        h = hmm_from_consensus(MOTIF)
+        hits = align_hmm_to_graph(g, h, score_threshold=10)
+        assert hits
+
+    def test_absent_motif_no_hits(self):
+        g = construct_graph([_random_seq(400, 9)], K).graph
+        h = hmm_from_consensus(MOTIF)
+        assert align_hmm_to_graph(g, h, score_threshold=10) == []
+
+
+class TestPathracerTool:
+    def test_cli(self, tmp_path):
+        from spades_tpu.io.gfa import write_gfa
+        from spades_tpu.tools import pathracer
+
+        genome = _random_seq(200, 10) + MOTIF + _random_seq(200, 11)
+        g = construct_graph([genome], K).graph
+        gfa = str(tmp_path / "g.gfa")
+        write_gfa(gfa, g)
+        hmmf = str(tmp_path / "m.hmm")
+        write_hmm(hmmf, hmm_from_consensus(MOTIF, "motif1"))
+        wd = str(tmp_path / "out")
+        assert pathracer.main([hmmf, gfa, "-w", wd]) == 0
+        tsv = open(os.path.join(wd, "pathracer.tsv")).read().strip().split("\n")
+        assert len(tsv) >= 2 and tsv[1].startswith("motif1\t")
