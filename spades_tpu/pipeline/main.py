@@ -47,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     inp.add_argument("--trusted-contigs", action="append", default=[], help="trusted contigs")
     inp.add_argument("--untrusted-contigs", action="append", default=[], help="untrusted contigs")
     inp.add_argument("--dataset", help="dataset description in YAML")
+    inp.add_argument("--custom-hmms", action="append", default=[], help="profile HMM file(s) for domain-guided modes (bio/corona)")
     inp.add_argument("--test", action="store_true", help="run on the bundled E. coli 1K dataset and check the result")
 
     out = p.add_argument_group("output")
@@ -242,6 +243,14 @@ def main(argv=None) -> int:
     if args.cov_cutoff not in ("off", "auto"):
         cov_cutoff = int(float(args.cov_cutoff))
 
+    hmm_profiles = []
+    for hf in args.custom_hmms:
+        from ..hmm import read_hmm
+
+        hmm_profiles += read_hmm(hf)
+    if hmm_profiles:
+        log.info("loaded %d HMM profiles", len(hmm_profiles))
+
     restart = "last" if args.cont else args.restart_from
     result = run_assembly(
         reads=reads,
@@ -256,6 +265,7 @@ def main(argv=None) -> int:
         checkpoints=args.checkpoints,
         restart_from=restart,
         careful=args.careful,
+        hmm_profiles=hmm_profiles,
     )
 
     # --- --test oracle (check_test_script.py:58-76) ---------------------

@@ -16,6 +16,7 @@ import numpy as np
 from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
     ChromosomeRemoval,
+    DomainAnalysis,
     Construction,
     ContigOutput,
     GapClosing,
@@ -70,6 +71,7 @@ def run_assembly(
     checkpoints: str = "last",
     restart_from: str | None = None,
     careful: bool = False,
+    hmm_profiles: list | None = None,
 ) -> RunResult:
     os.makedirs(output_dir, exist_ok=True)
     prev_contigs: list[str] = list(trusted_contigs or [])
@@ -97,6 +99,7 @@ def run_assembly(
             read_length=read_length,
             mode=mode,
         )
+        ctx.hmm_profiles = hmm_profiles or []
         mgr = StageManager(SavesPolicy(checkpoints))
         mgr.add(
             Construction(min_count=min_count),
@@ -120,6 +123,9 @@ def run_assembly(
             # repeat resolution runs on the main (last) iteration only
             # (pipeline.cpp: RepeatResolution gated on main_iteration)
             mgr.add(RepeatResolution())
+        if is_last and (hmm_profiles or mode in ("bio", "corona")):
+            # domain extraction / HMM-guided analysis (bgc + corona modes)
+            mgr.add(DomainAnalysis())
         mgr.add(ContigOutput())
         start = None
         if restart_from == "last":

@@ -158,6 +158,55 @@ class MismatchCorrection(AssemblyStage):
         log.info("mismatch correction: %d bases fixed", n)
 
 
+class DomainAnalysis(AssemblyStage):
+    """HMM domain extraction + domain-cluster candidates (biosyntheticSPAdes:
+    projects/spades/{extract_domains.cpp,domain_graph_construction.cpp},
+    domain_matcher.cpp; also the corona mode's HMM-guided path surface).
+
+    Aligns every profile to the graph, writes hits, and groups hits whose
+    paths share edges / adjacency into candidate clusters (the domain-graph
+    ordering at its simplest)."""
+
+    name = "Domain Analysis"
+    id = "domain_analysis"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        profiles = getattr(ctx, "hmm_profiles", None) or []
+        if not profiles or ctx.graph is None or ctx.graph.num_edges == 0:
+            return
+        from ..hmm import align_hmm_to_graph
+
+        all_hits = []
+        for hmm in profiles:
+            hits = align_hmm_to_graph(ctx.graph, hmm, score_threshold=5.0)
+            for h in hits:
+                all_hits.append((hmm.name, h))
+            log.info("domain %s: %d hits", hmm.name, len(hits))
+        tsv = os.path.join(ctx.output_dir, "domain_hits.tsv")
+        with open(tsv, "w") as fh:
+            fh.write("domain\tscore\tpath\tseq_len\n")
+            for name, h in sorted(all_hits, key=lambda t: -t[1].score):
+                fh.write(
+                    f"{name}\t{h.score:.2f}\t{','.join(map(str, h.path))}\t{len(h.seq)}\n"
+                )
+        # cluster hits sharing edges -> gene cluster candidates
+        clusters: list[list[tuple[str, object]]] = []
+        for name, h in all_hits:
+            placed = False
+            for cl in clusters:
+                if any(set(h.path) & set(h2.path) for _n, h2 in cl):
+                    cl.append((name, h))
+                    placed = True
+                    break
+            if not placed:
+                clusters.append([(name, h)])
+        with open(os.path.join(ctx.output_dir, "gene_clusters.txt"), "w") as fh:
+            for i, cl in enumerate(clusters):
+                doms = ",".join(n for n, _ in cl)
+                fh.write(f"cluster_{i+1}\t{doms}\n")
+        log.info("domain analysis: %d hits in %d clusters", len(all_hits), len(clusters))
+
+
 class ContigOutput(AssemblyStage):
     """Emit contigs/scaffolds/GFA (contig_output_stage.cpp equivalent)."""
 
