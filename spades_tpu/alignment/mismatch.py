@@ -30,16 +30,15 @@ class MismatchConfig:
     batch_size: int = 16384
 
 
-def correct_mismatches(g: CondensedGraph, reads: list[str], index: EdgeIndex | None = None) -> int:
-    """Fix edge-sequence mismatches by read majority vote.  Returns #bases fixed."""
-    cfg = MismatchConfig()
-    if g.num_edges == 0 or not reads:
-        return 0
+def position_votes(
+    g: CondensedGraph, reads: list[str], index: EdgeIndex | None = None,
+    batch_size: int = 16384,
+) -> np.ndarray:
+    """Per-pool-position base votes from mapped reads: (len(seq_pool), 4)."""
     index = index or build_edge_index(g)
-
     votes = np.zeros((len(g.seq_pool), 4), np.int32)
-    for lo in range(0, len(reads), cfg.batch_size):
-        chunk = reads[lo : lo + cfg.batch_size]
+    for lo in range(0, len(reads), batch_size):
+        chunk = reads[lo : lo + batch_size]
         mappings = map_read_batch(index, g, chunk)
         flat_idx, flat_base = [], []
         for m, s in zip(mappings, chunk):
@@ -55,6 +54,16 @@ def correct_mismatches(g: CondensedGraph, reads: list[str], index: EdgeIndex | N
             flat_base.append(codes[inside])
         if flat_idx:
             np.add.at(votes, (np.concatenate(flat_idx), np.concatenate(flat_base)), 1)
+    return votes
+
+
+def correct_mismatches(g: CondensedGraph, reads: list[str], index: EdgeIndex | None = None) -> int:
+    """Fix edge-sequence mismatches by read majority vote.  Returns #bases fixed."""
+    cfg = MismatchConfig()
+    if g.num_edges == 0 or not reads:
+        return 0
+    index = index or build_edge_index(g)
+    votes = position_votes(g, reads, index, cfg.batch_size)
 
     fixed = 0
     for e in g.canonical_edge_ids():
