@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     inp.add_argument("--untrusted-contigs", action="append", default=[], help="untrusted contigs")
     inp.add_argument("--dataset", help="dataset description in YAML")
     inp.add_argument("--custom-hmms", action="append", default=[], help="profile HMM file(s) for domain-guided modes (bio/corona)")
+    inp.add_argument("--iontorrent", action="store_true", help="IonTorrent data: homopolymer-space error correction (ionhammer)")
     inp.add_argument("--test", action="store_true", help="run on the bundled E. coli 1K dataset and check the result")
 
     out = p.add_argument_group("output")
@@ -188,6 +189,18 @@ def main(argv=None) -> int:
     if not args.only_assembler and mode not in ("rna", "corona", "sewage"):
         from ..hammer import HammerConfig, correct_reads
         from ..io.fastx import write_fasta
+
+        if args.iontorrent:
+            from ..hammer.ionhammer import correct_ion_reads
+
+            def correct_reads(flat, _cfg=None):  # noqa: F811 — mode dispatch
+                fixed, changed = correct_ion_reads(flat)
+                from ..hammer.hammer import HammerStats
+
+                return fixed, HammerStats(
+                    reads_total=len(flat), bases_changed=changed,
+                    reads_changed=sum(a != b for a, b in zip(fixed, flat)),
+                )
 
         flat: list[str] = []
         spans = []  # (lib, n_left, n_right) in order
