@@ -73,6 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     adv.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     adv.add_argument("--disable-gzip-output", action="store_true")
     adv.add_argument("--time-tracing", action="store_true", help="write a Chrome-trace spades_time_trace.json (TimeTracerRAII analog)")
+    adv.add_argument("--grid-engine", default=None, choices=("slurm", "save_yaml"), help="emit a batch-system submission script instead of executor choice")
     adv.add_argument("-v", "--version", action="version", version="spades_tpu 0.1.0")
     return p
 
@@ -263,6 +264,20 @@ def main(argv=None) -> int:
         hmm_profiles += read_hmm(hf)
     if hmm_profiles:
         log.info("loaded %d HMM profiles", len(hmm_profiles))
+
+    # executor artifacts: run_spades.yaml / run_spades.sh (+ sbatch script)
+    from .executors import dump_sh, dump_slurm, dump_yaml, pipeline_description
+
+    user_argv = list(argv if argv is not None else sys.argv[1:])
+    cmds = pipeline_description(
+        k_list, mode, args.careful, bool(long_reads), bool(hmm_profiles)
+    )
+    dump_yaml(os.path.join(args.output_dir, "run_spades.yaml"), cmds)
+    dump_sh(os.path.join(args.output_dir, "run_spades.sh"), user_argv)
+    if args.grid_engine == "slurm":
+        sub = os.path.join(args.output_dir, "submit_spades.sh")
+        dump_slurm(sub, user_argv, threads=args.threads, memory_gb=args.memory)
+        log.info("SLURM submission script -> %s (submit with sbatch)", sub)
 
     restart = "last" if args.cont else args.restart_from
     result = run_assembly(
