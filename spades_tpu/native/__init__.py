@@ -57,10 +57,53 @@ def lib():
         l.stbr_read_fastx.restype = ctypes.POINTER(_StbrReads)
         l.stbr_read_fastx.argtypes = [ctypes.c_char_p]
         l.stbr_free_reads.argtypes = [ctypes.POINTER(_StbrReads)]
+        l.stbr_merge_runs.restype = ctypes.c_int64
+        l.stbr_merge_runs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = l
-    except OSError as e:
+    except (OSError, AttributeError) as e:
         log.debug("native load failed: %s", e)
     return _lib
+
+
+def merge_runs_native(words: np.ndarray, counts: np.ndarray, run_off: np.ndarray):
+    """K-way merge of sorted unique runs with count summation (loser tree).
+
+    words: (total, W) uint32 concatenated run rows; counts: (total,) int64;
+    run_off: (n_runs+1,) uint64 row offsets.  Each run must be sorted and
+    unique.  Returns (merged_words, merged_counts) or None when the native
+    library is unavailable.  Mirrors `MergeKMers`
+    (`/root/reference/src/common/kmer_index/kmer_mph/kmer_index_builder.hpp:346`).
+    """
+    l = lib()
+    if l is None or not hasattr(l, "stbr_merge_runs"):
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    run_off = np.ascontiguousarray(run_off, dtype=np.uint64)
+    total, W = words.shape
+    n_runs = len(run_off) - 1
+    out_w = np.empty((total, W), np.uint32)
+    out_c = np.empty(total, np.int64)
+    n = l.stbr_merge_runs(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        run_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        np.int32(n_runs),
+        np.int32(W),
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        return None
+    return out_w[:n].copy(), out_c[:n].copy()
 
 
 def read_fastx_native(path: str):

@@ -137,7 +137,11 @@ def _lexsort_rows(words: np.ndarray) -> np.ndarray:
 
 
 def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
-    """Merge sorted unique runs (host) — replaces the loser-tree bucket merge."""
+    """Merge sorted unique runs (host) — the loser-tree bucket merge.
+
+    Native C++ loser tree when available (`native/merge.cpp`, mirroring
+    `kmer_index_builder.hpp:346` MergeKMers); numpy lexsort fallback.
+    """
     if not runs:
         raise ValueError("no runs to merge")
     k0 = runs[0].k
@@ -150,6 +154,15 @@ def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
     k = runs[0].k
     words = np.concatenate([r.words for r in runs], axis=0)
     counts = np.concatenate([r.counts for r in runs], axis=0)
+
+    from ..native import merge_runs_native
+
+    run_off = np.zeros(len(runs) + 1, np.uint64)
+    np.cumsum([r.num_unique for r in runs], out=run_off[1:])
+    merged = merge_runs_native(words, counts, run_off)
+    if merged is not None:
+        return KmerCounts(k=k, words=merged[0], counts=merged[1])
+
     order = _lexsort_rows(words)
     words, counts = words[order], counts[order]
     new = np.concatenate([[True], np.any(words[1:] != words[:-1], axis=1)])
