@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     for m in ("meta", "rna", "plasmid", "isolate", "sc", "metaviral", "rnaviral", "corona", "bio", "sewage", "metaplasmid"):
         modes.add_argument(f"--{m}", action="store_true", help=f"{m} mode")
     modes.add_argument("--careful", action="store_true", help="careful mode (mismatch correction)")
+    modes.add_argument("--ss", choices=("fr", "rf"), default=None,
+                       help="strand-specific RNA protocol orientation (rna mode)")
     modes.add_argument("--only-assembler", action="store_true", help="skip read error correction")
     modes.add_argument("--only-error-correction", action="store_true")
 
@@ -294,6 +296,7 @@ def main(argv=None) -> int:
         restart_from=restart,
         careful=args.careful,
         hmm_profiles=hmm_profiles,
+        ss=args.ss,
     )
 
     # --- --test oracle (check_test_script.py:58-76) ---------------------

@@ -17,6 +17,7 @@ from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
     ChromosomeRemoval,
     DomainAnalysis,
+    SSEdgeSplit,
     Construction,
     ContigOutput,
     GapClosing,
@@ -72,6 +73,7 @@ def run_assembly(
     restart_from: str | None = None,
     careful: bool = False,
     hmm_profiles: list | None = None,
+    ss: str | None = None,
 ) -> RunResult:
     os.makedirs(output_dir, exist_ok=True)
     prev_contigs: list[str] = list(trusted_contigs or [])
@@ -107,6 +109,10 @@ def run_assembly(
             Simplification(mode_simplify_config(mode, read_length)),
             GapClosing("late"),
         )
+        if mode == "rna" and ss:
+            # strand-specific transcript-boundary splitting
+            # (pipeline.cpp rna branch: SSEdgeSplit stage)
+            mgr.add(SSEdgeSplit(ss))
         if is_last and long_reads:
             # long-read alignment feeds RR and closes remaining gaps
             # (pipeline.cpp: HybridLibrariesAligning on the main iteration)

@@ -77,6 +77,33 @@ class Simplification(AssemblyStage):
         )
 
 
+class SSEdgeSplit(AssemblyStage):
+    """Strand-specific edge splitting for stranded RNA libraries
+    (stages/ss_edge_split.cpp + alignment/rna/ss_coverage.hpp
+    SSCoverageSplitter): split edges where sense and antisense transcript
+    coverage profiles cross (tail-to-tail transcript boundaries)."""
+
+    name = "SS Edge Splitting"
+    id = "ss_edge_split"
+
+    def __init__(self, ss_type: str = "fr"):
+        self.ss_type = ss_type
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if ctx.graph is None or ctx.graph.num_edges == 0 or not ctx.reads:
+            return
+        if ctx.read_length < ctx.k:
+            log.info("reads are too short for SS coverage splitter")
+            return
+        from ..alignment.ss_coverage import SSCoverageSplitter
+
+        min_edge_len = max(200, 3 * 50)
+        splitter = SSCoverageSplitter(ctx.graph, min_edge_len=min_edge_len)
+        splitter.fill(ctx.reads, rf=self.ss_type == "rf")
+        n = splitter.split_edges()
+        log.info("ss edge splitter: split %d edges", n)
+
+
 class GapClosing(AssemblyStage):
     """Paired-read tip-to-tip gap closing (gap_closer.cpp:28-514)."""
 
