@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     modes.add_argument("--careful", action="store_true", help="careful mode (mismatch correction)")
     modes.add_argument("--ss", choices=("fr", "rf"), default=None,
                        help="strand-specific RNA protocol orientation (rna mode)")
+    modes.add_argument("--series-analysis", default=None, metavar="YAML",
+                       help="multi-sample coverage series analysis config (meta mode)")
     modes.add_argument("--only-assembler", action="store_true", help="skip read error correction")
     modes.add_argument("--only-error-correction", action="store_true")
 
@@ -297,6 +299,7 @@ def main(argv=None) -> int:
         careful=args.careful,
         hmm_profiles=hmm_profiles,
         ss=args.ss,
+        series_analysis=args.series_analysis,
     )
 
     # --- --test oracle (check_test_script.py:58-76) ---------------------

@@ -17,6 +17,7 @@ from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
     ChromosomeRemoval,
     DomainAnalysis,
+    SeriesAnalysis,
     SSEdgeSplit,
     Construction,
     ContigOutput,
@@ -74,6 +75,7 @@ def run_assembly(
     careful: bool = False,
     hmm_profiles: list | None = None,
     ss: str | None = None,
+    series_analysis: str | None = None,
 ) -> RunResult:
     os.makedirs(output_dir, exist_ok=True)
     prev_contigs: list[str] = list(trusted_contigs or [])
@@ -109,6 +111,10 @@ def run_assembly(
             Simplification(mode_simplify_config(mode, read_length)),
             GapClosing("late"),
         )
+        if is_last and series_analysis:
+            # meta mode multi-sample series analysis (pipeline.cpp gates on
+            # cfg.series_analysis being set)
+            mgr.add(SeriesAnalysis(series_analysis))
         if mode == "rna" and ss:
             # strand-specific transcript-boundary splitting
             # (pipeline.cpp rna branch: SSEdgeSplit stage)

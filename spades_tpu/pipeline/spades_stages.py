@@ -104,6 +104,27 @@ class SSEdgeSplit(AssemblyStage):
         log.info("ss edge splitter: split %d edges", n)
 
 
+class SeriesAnalysis(AssemblyStage):
+    """Multi-sample coverage-series profile dumps + profile-based clearing
+    (projects/spades/series_analysis.cpp, meta mode --series-analysis)."""
+
+    name = "Series Analysis"
+    id = "series_analysis"
+
+    def __init__(self, config_path: str):
+        self.config_path = config_path
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if ctx.graph is None or ctx.graph.num_edges == 0:
+            return
+        from ..mts.series_analysis import SeriesAnalysisConfig, run_series_analysis
+
+        cfg = SeriesAnalysisConfig.load(self.config_path)
+        run_series_analysis(ctx.graph, cfg)
+        log.info("series analysis: profiles dumped (k=%d, %d samples)",
+                 cfg.k, cfg.sample_cnt)
+
+
 class GapClosing(AssemblyStage):
     """Paired-read tip-to-tip gap closing (gap_closer.cpp:28-514)."""
 
