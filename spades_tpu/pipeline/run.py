@@ -17,6 +17,7 @@ from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
     ChromosomeRemoval,
     DomainAnalysis,
+    SecondPhaseSetup,
     SeriesAnalysis,
     SSEdgeSplit,
     Construction,
@@ -131,6 +132,10 @@ def run_assembly(
             # careful mode polishes edge sequences before output
             # (pipeline.cpp gates MismatchCorrection on cfg.correct_mismatches)
             mgr.add(MismatchCorrection())
+        if is_last and mode == "meta" and paired_libs:
+            # two-step repeat resolution (pipeline.cpp:139-151): preliminary
+            # RR feeds its contigs back as trusted paths for the main pass
+            mgr.add(RepeatResolution(preliminary=True), SecondPhaseSetup())
         if is_last:
             # repeat resolution runs on the main (last) iteration only
             # (pipeline.cpp: RepeatResolution gated on main_iteration)

@@ -206,6 +206,40 @@ class MismatchCorrection(AssemblyStage):
         log.info("mismatch correction: %d bases fixed", n)
 
 
+class SecondPhaseSetup(AssemblyStage):
+    """Two-step (meta) repeat resolution hand-off
+    (projects/spades/second_phase_setup.cpp + pipeline.cpp:139-151): preserve
+    the preliminary contigs as `first_pe_contigs.fasta`, clear the RR
+    products, and feed the contigs back as trusted paths for the main RR pass
+    (the reference appends them as a PathExtendContigs library)."""
+
+    name = "Second Phase Setup"
+    id = "second_phase_setup"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if not ctx.contigs or ctx.graph is None:
+            return
+        from ..alignment.long_read import align_long_reads, build_long_read_storage
+        from ..io.contigs import write_contigs
+
+        write_contigs(
+            os.path.join(ctx.output_dir, "first_pe_contigs.fasta"), ctx.contigs
+        )
+        contig_seqs = [c.seq for c in ctx.contigs]
+        alignments = align_long_reads(ctx.graph, contig_seqs)
+        storage = build_long_read_storage(ctx.graph, alignments)
+        if ctx.long_read_storage is not None:
+            for path, c in ctx.long_read_storage.paths.items():
+                storage.paths[path] = storage.paths.get(path, 0) + c
+        ctx.long_read_storage = storage
+        # ClearRRIndicesAndPaths: drop preliminary RR products
+        ctx.contigs, ctx.scaffolds = [], []
+        ctx.contig_paths, ctx.scaffold_paths = [], []
+        log.info(
+            "second phase ready: %d trusted contig paths", len(storage.paths)
+        )
+
+
 class DomainAnalysis(AssemblyStage):
     """HMM domain extraction + domain-cluster candidates (biosyntheticSPAdes:
     projects/spades/{extract_domains.cpp,domain_graph_construction.cpp},
@@ -303,6 +337,12 @@ class RepeatResolution(AssemblyStage):
 
     name = "Repeat Resolving"
     id = "repeat_resolving"
+
+    def __init__(self, preliminary: bool = False):
+        if preliminary:
+            self.name = "Preliminary Repeat Resolving"
+            self.id = "repeat_resolving_preliminary"
+        self.preliminary = preliminary
 
     def run(self, ctx: AssemblyContext) -> None:
         from ..alignment.mapper import build_edge_index, map_read_batch
