@@ -85,7 +85,7 @@ class ReadMapping:
 
 
 def map_read_batch(
-    index: EdgeIndex, g: CondensedGraph, seqs: list[str]
+    index: EdgeIndex, g: CondensedGraph, seqs: list[str], kmer_mapper=None
 ) -> list[ReadMapping | None]:
     """Map reads by k-mer anchor votes.  One ReadMapping (or None) per read."""
     k = index.k
@@ -111,6 +111,9 @@ def map_read_batch(
     jj = np.concatenate(j_list)
 
     canon, read_rc = canonicalize(big, k)
+    if kmer_mapper is not None and kmer_mapper.k == k:
+        # project simplification-glued k-mers onto surviving ones
+        canon = kmer_mapper.substitute(canon)
     idx = searchsorted_rows(index.kmers, canon)
     hit = (idx >= 0) & valid
     if not hit.any():

@@ -133,7 +133,7 @@ def clip_tips(
     return g.kill_edges(kill)
 
 
-def remove_bulges(g: CondensedGraph, cfg: SimplifyConfig) -> int:
+def remove_bulges(g: CondensedGraph, cfg: SimplifyConfig, kmer_mapper=None) -> int:
     """Simple-bulge pass: parallel edges between the same vertices.
 
     Removes the lower-coverage arm when lengths agree within delta and its
@@ -175,9 +175,15 @@ def remove_bulges(g: CondensedGraph, cfg: SimplifyConfig) -> int:
                     and abs(int(lens[x]) - int(lens[keep])) <= delta
                     and cov[x] <= cfg.max_relative_coverage * cov[keep]
                 ):
-                    # project coverage onto the survivor, then remove
+                    # project coverage onto the survivor, then remove;
+                    # record the glue so reads spelling the removed arm
+                    # still map (KmerMapper::RemapKmers semantics)
                     g.e_cov[keep] += g.e_cov[x]
                     g.e_cov[g.e_conj[keep]] += g.e_cov[x]
+                    if kmer_mapper is not None:
+                        kmer_mapper.remap_sequences(
+                            g.edge_codes(int(x)), g.edge_codes(int(keep))
+                        )
                     removed += g.kill_edges(np.array([x]))
                     killed.add(int(x))
                     killed.add(int(g.e_conj[x]))
@@ -352,6 +358,7 @@ def simplify(
     g: CondensedGraph,
     info: GenomicInfo | None = None,
     cfg: SimplifyConfig | None = None,
+    kmer_mapper=None,
 ) -> tuple[CondensedGraph, SimplifyStats]:
     """Full simplification schedule (simplification.cpp:405-429 shape)."""
     cfg = cfg or SimplifyConfig()
@@ -375,7 +382,7 @@ def simplify(
         stats.tips += n
         changed += n
         if cfg.br_enabled:
-            n = remove_bulges(g, cfg)
+            n = remove_bulges(g, cfg, kmer_mapper)
             n += remove_bulges_dijkstra(g, cfg)
             if n:
                 g = compress(g)
