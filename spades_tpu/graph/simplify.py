@@ -56,6 +56,15 @@ class SimplifyConfig:
     rel_cov_ratio: float = 5.0
     # isolated edge remover
     ier_enabled: bool = True
+    # complex tip clipper (complex_tc; enabled in meta_mode.info:50-53)
+    complex_tc_enabled: bool = False
+    # complex (superbubble) bulge remover (cbr; enabled in mda_mode.info:51)
+    cbr_enabled: bool = False
+    # max-flow EC remover (mfec; simplification.info:228-234, off by default)
+    mfec_enabled: bool = False
+    mfec_max_ec_length_coeff: float = 30.0
+    mfec_uniqueness_length: int = 1500
+    mfec_plausibility_length: int = 200
 
 
 def max_tip_length(cfg: SimplifyConfig, k: int, lb: float) -> int:
@@ -399,6 +408,33 @@ def simplify(
             break
         if changed == 0 and not np.isfinite(auto_cb):
             break
+    if cfg.cbr_enabled or cfg.complex_tc_enabled or cfg.mfec_enabled:
+        from .simplify_complex import (
+            clip_complex_tips, collapse_superbubbles, max_flow_ec_remover,
+        )
+
+        n = 0
+        if cfg.cbr_enabled:
+            n += collapse_superbubbles(
+                g, max_length=int(5.0 * k + cfg.max_additive_length_coeff)
+            )
+            stats.bulges += n
+        if cfg.complex_tc_enabled:
+            m = clip_complex_tips(g, relative_coverage=2.0, max_edge_len=100,
+                                  max_path_len=max_tip_length(cfg, k, cfg.tc_lb))
+            stats.tips += m
+            n += m
+        if cfg.mfec_enabled:
+            m = max_flow_ec_remover(
+                g,
+                max_length=int(k + cfg.mfec_max_ec_length_coeff),
+                uniqueness_length=cfg.mfec_uniqueness_length,
+                plausibility_length=cfg.mfec_plausibility_length,
+            )
+            stats.ec += m
+            n += m
+        if n:
+            g = compress(g)
     if cfg.ier_enabled:
         n = remove_isolated(g, cfg.read_length)
         if n:

@@ -50,6 +50,7 @@ def mode_simplify_config(mode: str, read_length: int) -> SimplifyConfig:
         cfg.max_relative_coverage = 1.05
         cfg.rctc = 2.0
         cfg.rel_cov_enabled = True  # relative-coverage disconnector (rcc)
+        cfg.complex_tc_enabled = True  # meta_mode.info:50-53
     elif mode == "rna":
         cfg.tc_lb = 2.0
         cfg.ier_enabled = False
@@ -58,6 +59,7 @@ def mode_simplify_config(mode: str, read_length: int) -> SimplifyConfig:
     elif mode == "sc":
         # single-cell: uneven MDA coverage — weaker coverage conditions
         cfg.max_relative_coverage = 1.2
+        cfg.cbr_enabled = True  # mda_mode.info:51 complex bulge remover
     return cfg
 
 
