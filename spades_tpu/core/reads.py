@@ -43,6 +43,30 @@ class ReadBatch:
     def max_len(self) -> int:
         return int(self.codes.shape[1])
 
+    def packed(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Wire format for host->device transfer: 2-bit packed codes
+        (4 bases/byte, little-endian within the byte) + bit-packed N mask.
+
+        Cuts link traffic ~7x vs raw (codes uint8 + n_mask bool) — the same
+        2-bit-packing discipline the reference applies before anything
+        crosses an IO boundary (binary reads, `io/reads/binary_converter.hpp`).
+        Returns (packed_codes (R, ceil(L/4)) uint8, packed_nmask
+        (R, ceil(L/8)) uint8, lengths, L)."""
+        R, L = self.codes.shape
+        Lp = (L + 3) // 4 * 4
+        c = self.codes
+        if Lp != L:
+            c = np.pad(c, ((0, 0), (0, Lp - L)))
+        c = c.reshape(R, Lp // 4, 4).astype(np.uint8)
+        packed = (
+            c[:, :, 0]
+            | (c[:, :, 1] << 2)
+            | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)
+        )
+        nbits = np.packbits(self.n_mask, axis=1, bitorder="little")
+        return packed, nbits, self.lengths, L
+
     @classmethod
     def from_sequences(
         cls,

@@ -101,6 +101,80 @@ def count_batch_device_tiled(codes, lengths, n_mask, k: int, tile: int = 4096,
     return swords, starts, n_valid
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def unpack_batch_device(packed_codes, packed_nmask, L: int):
+    """Device-side unpack of ReadBatch.packed() wire format.
+
+    packed_codes (R, ceil(L/4)) uint8 -> codes (R, L) uint8 in {0..3};
+    packed_nmask (R, ceil(L/8)) uint8 (little bit order) -> n_mask (R, L)."""
+    R = packed_codes.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = (packed_codes[:, :, None] >> shifts[None, None, :]) & 3
+    codes = codes.reshape(R, -1)[:, :L]
+    bits = jnp.arange(8, dtype=jnp.uint8)
+    nm = (packed_nmask[:, :, None] >> bits[None, None, :]) & 1
+    n_mask = nm.reshape(R, -1)[:, :L].astype(bool)
+    return codes, n_mask
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def count_batch_device_unique(codes, lengths, n_mask, k: int, use_pallas: bool = False):
+    """Full on-device counting of one batch: sort -> run-length count ->
+    compact uniques to the front.
+
+    Unlike `count_batch_device_tiled`, the ENTIRE dedup happens on device, so
+    the host only pulls `n_unique` rows (~total/coverage) instead of every
+    k-mer — the right split when the host is much slower than the chip (the
+    reference's analogous trade is flushing deduplicated buffers instead of
+    raw k-mers, `kmer_splitter.hpp:75-120`).
+
+    Returns (words (N, W) uint32 with unique rows in the first n_unique
+    positions, counts (N,) int32 aligned to words, n_unique () int32)."""
+    if use_pallas:
+        from .pallas_kernels import canonical_windows_planar
+
+        canon_planar, _ = canonical_windows_planar(codes, lengths, n_mask, k)
+        W = canon_planar.shape[0]
+        planes = [canon_planar[w].reshape(-1) for w in range(W)]
+    else:
+        canon, _ = K.canonical_windows(codes, lengths, n_mask, k)
+        W = canon.shape[-1]
+        flat = canon.reshape(-1, W)
+        planes = [flat[:, w] for w in range(W)]
+    n = planes[0].shape[0]
+    swords = jax.lax.sort(tuple(planes), num_keys=W)
+    stacked = jnp.stack(swords, axis=-1)
+    boundary = run_starts(stacked)              # includes the sentinel run
+    valid = jnp.any(stacked != K.SENTINEL32, axis=-1)
+    starts = boundary & valid
+    # run length at each start row = (next boundary position) - (own position),
+    # via a reversed cumulative-min scan — log-depth, no scatter
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bpos = jnp.where(boundary, pos, jnp.int32(n))
+    # next_boundary[i] = min boundary position at index > i (n if none)
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))
+    next_boundary = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
+    row_counts = jnp.where(starts, next_boundary - pos, 0)
+    # one stable 1-key sort compacts unique rows (flag 0) to the front,
+    # preserving lexicographic order and carrying words + counts as values
+    flag = jnp.where(starts, jnp.uint8(0), jnp.uint8(1))
+    out = jax.lax.sort(
+        (flag,) + swords + (row_counts,), num_keys=1, is_stable=True
+    )
+    unique_words = jnp.stack(out[1 : 1 + W], axis=-1)
+    unique_counts = out[1 + W]
+    n_unique = jnp.sum(starts.astype(jnp.int32))
+    return unique_words, unique_counts, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("L", "k", "use_pallas"))
+def count_batch_packed_unique(packed_codes, packed_nmask, lengths, L: int,
+                              k: int, use_pallas: bool = False):
+    """Single-dispatch packed-wire counting: unpack + count on device."""
+    codes, n_mask = unpack_batch_device(packed_codes, packed_nmask, L)
+    return count_batch_device_unique(codes, lengths, n_mask, k, use_pallas=use_pallas)
+
+
 @dataclass
 class KmerCounts:
     """Sorted unique canonical k-mers with multiplicities (host arrays)."""
@@ -175,30 +249,44 @@ def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
 def count_reads(batches, k: int, tile: int = 4096) -> KmerCounts:
     """Count canonical k-mers over an iterable of ReadBatches.
 
-    Device work is the tiled sorted-run pass (`count_batch_device_tiled`);
-    runs are compacted on the host and k-way merged (`merge_counts`) — the
-    split the reference makes between per-thread sorted buffer flushes and
-    the bucket-file merge (`kmer_index_builder.hpp:306-430`).
+    Each batch is fully counted ON DEVICE (`count_batch_device_unique`:
+    global sort + run-length + compaction), so the host receives one sorted
+    deduplicated run per batch — only ~total/coverage rows cross the
+    host<->device link — and k-way merges the per-batch runs
+    (`merge_counts`, native loser tree).  This is the reference's
+    buffer-flush/bucket-merge split (`kmer_index_builder.hpp:306-430`) with
+    the per-thread buffer replaced by the whole device batch.
     """
+    from .pallas_kernels import supports_pallas
+
+    use_pallas = supports_pallas()
     runs: list[KmerCounts] = []
     for b in batches:
         if isinstance(b, ReadBatch):
-            codes, lengths, n_mask = b.codes, b.lengths, b.n_mask
+            if b.codes.shape[0] == 0 or b.codes.shape[1] < k:
+                continue
+            # packed wire format: ~7x fewer bytes over the host->device link
+            pc, pn, lengths, L = b.packed()
+            uw, uc, nu = count_batch_packed_unique(
+                pc, pn, lengths, L, k, use_pallas=use_pallas
+            )
         else:
             codes, lengths, n_mask = b
-        if codes.shape[0] == 0 or codes.shape[1] < k:
-            continue
-        swords, starts, n_valid = count_batch_device_tiled(
-            codes, lengths, n_mask, k, tile=tile
-        )
-        swords = np.asarray(swords)
-        starts = np.asarray(starts)
-        n_valid = np.asarray(n_valid)
-        for t in range(swords.shape[0]):
-            if n_valid[t] == 0:
+            if codes.shape[0] == 0 or codes.shape[1] < k:
                 continue
-            uw, uc = _compact_run(swords[t], starts[t], int(n_valid[t]))
-            runs.append(KmerCounts(k=k, words=uw, counts=uc))
+            uw, uc, nu = count_batch_device_unique(
+                codes, lengths, n_mask, k, use_pallas=use_pallas
+            )
+        nu = int(nu)
+        if nu == 0:
+            continue
+        runs.append(
+            KmerCounts(
+                k=k,
+                words=np.asarray(uw[:nu]),
+                counts=np.asarray(uc[:nu]).astype(np.int64),
+            )
+        )
     if not runs:
         W = K.kmer_words(k)
         return KmerCounts(k=k, words=np.zeros((0, W), np.uint32), counts=np.zeros((0,), np.int64))

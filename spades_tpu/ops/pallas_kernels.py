@@ -124,11 +124,17 @@ def canonical_windows_planar(codes, lengths, n_mask, k: int, row_tile: int = 256
         raise ValueError(f"read length {L} < k {k}")
     W = kmer_words(k)
     Pp = _round_up(P, _LANE)
-    TR = min(row_tile, _round_up(R, 8))
-    Rp = _round_up(R, TR)
     # codes block width: doubling packs read up to position P+16W-2 (fw) and
     # Pp+k-2 (rc); keep lane-aligned (Mosaic mishandles unaligned blocks)
     Lp = _round_up(max(L, Pp + k, P + 16 * W - 1), _LANE)
+    # cap the row tile so the kernel's VMEM working set (outputs + two int32
+    # input blocks + intermediates) stays well under the ~16 MB scoped limit;
+    # long reads / large W otherwise blow the stack at TR=256
+    bytes_per_row = 4 * ((W + 1) * Pp + 2 * Lp) * 3  # x3 headroom for temps
+    tr_cap = max(8, (4 << 20) // max(bytes_per_row, 1) * 8 // 8)
+    tr_cap = max(8, 1 << (tr_cap.bit_length() - 1))  # round down to pow2
+    TR = min(row_tile, tr_cap, _round_up(R, 8))
+    Rp = _round_up(R, TR)
 
     c = codes.astype(jnp.int32)
     nm = n_mask.astype(jnp.int32)
