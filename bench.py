@@ -41,7 +41,7 @@ import numpy as np
 BASELINE_KMERS_PER_SEC = 150e6
 K = 21
 R, L = 4096, 256
-ITERS = 32
+ITERS = 256
 
 
 def main() -> None:
