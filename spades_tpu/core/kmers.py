@@ -174,6 +174,42 @@ def canonical_windows(codes, lengths, n_mask, k: int):
     return canon, valid
 
 
+def canonical_windows_strand(codes, lengths, n_mask, k: int):
+    """Like `canonical_windows` but also returns was_rc (R, P) bool — True
+    where the canonical form is the reverse complement of the spelled window
+    (the orientation bit read mappers need)."""
+    R, L = codes.shape
+    P = L - k + 1
+    W = kmer_words(k)
+    m = k - 16 * (W - 1)
+    need = P + 16 * W - 1
+    c = codes.astype(jnp.uint32)
+    if need > L:
+        c = jnp.pad(c, ((0, 0), (0, need - L)))
+    B16, R16 = doubling_packs(c)
+    fwd_w, rc_w = [], []
+    for w in range(W):
+        if w < W - 1:
+            fwd_w.append(B16[:, 16 * w : 16 * w + P])
+            rc_w.append(R16[:, k - 16 * (w + 1) : k - 16 * (w + 1) + P])
+        else:
+            f_last = B16[:, 16 * w : 16 * w + P]
+            if m < 16:
+                f_last = f_last & jnp.uint32(~((1 << (32 - 2 * m)) - 1) & 0xFFFFFFFF)
+            fwd_w.append(f_last)
+            r_last = R16[:, 0:P]
+            if m < 16:
+                r_last = r_last * jnp.uint32(1 << (32 - 2 * m))
+            rc_w.append(r_last)
+    fwd = jnp.stack(fwd_w, axis=-1)
+    rcw = jnp.stack(rc_w, axis=-1)
+    use_rc = lex_less(rcw, fwd)
+    canon = jnp.where(use_rc[..., None], rcw, fwd)
+    valid = window_valid(lengths, n_mask, k)
+    canon = jnp.where(valid[..., None], canon, SENTINEL32)
+    return canon, valid, use_rc
+
+
 # ---------------------------------------------------------------------------
 # Word-level k-mer manipulation (used by the extension index / condensation)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,178 @@
+"""Multi-chip sharded read-to-graph mapping and paired-info filling.
+
+TPU-native replacement for the reference's distributed mapping stages
+(`/root/reference/src/projects/hpcspades/mpi/stages/pair_info_count_mpi.hpp`
++ `mpi/alignment/sequence_mapper_notifier_mpi.*`): hpcSPAdes splits read
+streams across MPI ranks, each rank maps its chunk against the replicated
+GraphPack, and per-rank paired-info buffers are merged on the master.
+
+Mesh design: the edge k-mer index (sorted canonical k-mer rows + parallel
+(edge, offset, strand) columns — `alignment/mapper.py` EdgeIndex) is
+REPLICATED across chips (it is the GraphPack analog); the read batch is
+sharded along the mesh's data axis.  Each chip:
+
+* extracts canonical windows of its read shard,
+* binary-searches them in the replicated index (vectorized log2(U) gather
+  loop — the on-device `searchsorted_rows`),
+* picks the dominant (edge, read-start) vote per read with a row-wise sort +
+  run-length argmax (no host loop),
+
+and per-read mappings come back sharded; paired-info tuples are then a
+vectorized zip of the two mates' mappings (`is_counter.hpp` semantics).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import kmers as K
+from .sharded_count import make_mesh
+
+
+def _rows_less(a, b_words):
+    """Lexicographic a < b for stacked word columns; a: tuple of (N,) arrays,
+    b_words: (N, W)."""
+    W = b_words.shape[-1]
+    lt = jnp.zeros(b_words.shape[:-1], bool)
+    eq = jnp.ones(b_words.shape[:-1], bool)
+    for w in range(W):
+        aw = a[..., w]
+        bw = b_words[..., w]
+        lt = lt | (eq & (aw < bw))
+        eq = eq & (aw == bw)
+    return lt, eq
+
+
+def device_searchsorted_rows(haystack: jnp.ndarray, needles: jnp.ndarray) -> jnp.ndarray:
+    """(U, W) sorted unique rows, (N, W) queries -> (N,) index or -1.
+
+    log2(U) rounds of gather + lexicographic compare — the device analog of
+    `ops.count.searchsorted_rows` (the MPHF-lookup role)."""
+    U = haystack.shape[0]
+    # derive the carry from `needles` so its varying-axes type matches inside
+    # shard_map (a plain zeros carry is unvarying and trips the vma check)
+    zero = (needles[:, 0] & 0).astype(jnp.int32)
+    lo = zero
+    hi = zero + jnp.int32(U)
+    steps = max(1, int(np.ceil(np.log2(max(U, 2)))) + 1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        row = haystack[jnp.clip(mid, 0, U - 1)]
+        lt, _ = _rows_less(row, needles)  # haystack[mid] < needle
+        lo = jnp.where(lt, mid + 1, lo)
+        hi = jnp.where(lt, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    idx = jnp.clip(lo, 0, U - 1)
+    hit = jnp.all(haystack[idx] == needles, axis=-1) & (U > 0)
+    return jnp.where(hit, idx, -1)
+
+
+def _map_shard_body(codes, lengths, n_mask, index_words, index_edge,
+                    index_off, index_strand, conj, e_len,
+                    k: int, axis: str):
+    """Per-device body: map my read shard against the replicated index.
+
+    Returns per-read (edge, start, votes); edge = -1 for unmapped."""
+    R, L = codes.shape
+    Pn = L - k + 1
+    canon, valid, read_rc = K.canonical_windows_strand(codes, lengths, n_mask, k)
+    W = canon.shape[-1]
+
+    flat = canon.reshape(-1, W)
+    idx = device_searchsorted_rows(index_words, flat)
+    idx = jnp.where(valid.reshape(-1), idx, -1)
+    safe = jnp.clip(idx, 0, max(index_edge.shape[0] - 1, 0))
+    e = index_edge[safe]
+    off = index_off[safe]
+    istrand = index_strand[safe]
+    rrc = read_rc.reshape(-1)
+    same = rrc == istrand
+    oc = e_len[e] - k - off
+    voted_edge = jnp.where(same, e, conj[e])
+    jj = jnp.tile(jnp.arange(Pn, dtype=jnp.int32), (R,))
+    voted_start = jnp.where(same, off, oc) - jj
+    hit = idx >= 0
+    voted_edge = jnp.where(hit, voted_edge, jnp.int32(2**30))
+    voted_start = jnp.where(hit, voted_start, jnp.int32(2**30))
+
+    # dominant (edge, start) per read: row-wise sort then longest run
+    ve = voted_edge.reshape(R, Pn)
+    vs = voted_start.reshape(R, Pn)
+    se, ss = jax.lax.sort((ve, vs), num_keys=2, dimension=1)
+    newrun = jnp.concatenate(
+        [jnp.ones((R, 1), bool),
+         (se[:, 1:] != se[:, :-1]) | (ss[:, 1:] != ss[:, :-1])], axis=1)
+    pos = jnp.arange(Pn, dtype=jnp.int32)[None, :]
+    bpos = jnp.where(newrun, pos, Pn)
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(bpos, axis=1), axis=1), axis=1)
+    nxt = jnp.concatenate([suffix_min[:, 1:], jnp.full((R, 1), Pn, jnp.int32)], axis=1)
+    run_len = jnp.where(newrun & (se < 2**30), nxt - pos, 0)
+    best = jnp.argmax(run_len, axis=1)
+    rows = jnp.arange(R)
+    votes = run_len[rows, best]
+    edge_out = jnp.where(votes > 0, se[rows, best], -1)
+    start_out = jnp.where(votes > 0, ss[rows, best], 0)
+    return edge_out.astype(jnp.int32), start_out.astype(jnp.int32), votes.astype(jnp.int32)
+
+
+def make_sharded_mapper(mesh: Mesh, k: int, axis: str = "d"):
+    """Jitted multi-chip mapping step: read shards x replicated edge index."""
+    body = functools.partial(_map_shard_body, k=k, axis=axis)
+    shard_fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None),
+                  P(None, None), P(None), P(None), P(None), P(None), P(None)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(shard_fn)
+
+
+def map_reads_sharded(index, g, batch, mesh: Mesh | None = None):
+    """Host wrapper: map a ReadBatch across the mesh against an EdgeIndex.
+
+    Returns (edge (R,), start (R,), votes (R,)) numpy arrays; edge == -1
+    means unmapped.  Matches `alignment.mapper.map_read_batch` decisions up
+    to vote ties."""
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    R = batch.codes.shape[0]
+    pad = (-R) % n_dev
+    codes = np.pad(batch.codes, ((0, pad), (0, 0)))
+    lengths = np.pad(batch.lengths, (0, pad))
+    n_mask = np.pad(batch.n_mask, ((0, pad), (0, 0)))
+
+    fn = make_sharded_mapper(mesh, index.k, axis)
+    e_len = np.asarray(g.e_len, np.int32)
+    edge, start, votes = fn(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(n_mask),
+        jnp.asarray(index.kmers), jnp.asarray(index.edge, jnp.int32),
+        jnp.asarray(index.offset, jnp.int32), jnp.asarray(index.strand, jnp.int32),
+        jnp.asarray(g.e_conj, jnp.int32), jnp.asarray(e_len),
+    )
+    return (np.asarray(edge)[:R], np.asarray(start)[:R], np.asarray(votes)[:R])
+
+
+def pair_info_sharded(g, edge1, start1, edge2, start2, insert_size: float):
+    """Vectorized paired-info tuples from two mates' sharded mappings.
+
+    Same geometry as `paired.paired_info.build_paired_index` (FR pairs,
+    `paired_info/is_counter.hpp` semantics): read2's edge is conjugated onto
+    read1's strand and d estimates start(e2) - start(e1).
+    Returns (e1, e2, dist) int64 arrays for pairs where both mates mapped."""
+    ok = (edge1 >= 0) & (edge2 >= 0)
+    e1 = edge1[ok].astype(np.int64)
+    o1 = start1[ok].astype(np.int64)
+    e2 = np.asarray(g.e_conj)[edge2[ok]].astype(np.int64)
+    o2_end = np.asarray(g.e_len)[e2] - start2[ok]
+    d = np.round(o1 + insert_size - o2_end).astype(np.int64)
+    return e1, e2, d
