@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     inp.add_argument("--trusted-contigs", action="append", default=[], help="trusted contigs")
     inp.add_argument("--untrusted-contigs", action="append", default=[], help="untrusted contigs")
     inp.add_argument("--dataset", help="dataset description in YAML")
+    inp.add_argument("--assembly-graph", dest="assembly_graph", default=None,
+                     help="start from an existing assembly graph (GFA) instead of constructing one")
     inp.add_argument("--custom-hmms", action="append", default=[], help="profile HMM file(s) for domain-guided modes (bio/corona)")
     inp.add_argument("--iontorrent", action="store_true", help="IonTorrent data: homopolymer-space error correction (ionhammer)")
     inp.add_argument("--test", action="store_true", help="run on the bundled E. coli 1K dataset and check the result")
@@ -184,7 +186,7 @@ def main(argv=None) -> int:
     paired_libs = dataset.paired()
     long_reads = dataset.long_reads()
     trusted = dataset.contigs()
-    if not reads:
+    if not reads and not args.assembly_graph:
         log.error("no reads parsed")
         return 64
 
@@ -300,6 +302,7 @@ def main(argv=None) -> int:
         hmm_profiles=hmm_profiles,
         ss=args.ss,
         series_analysis=args.series_analysis,
+        assembly_graph=args.assembly_graph,
     )
 
     # --- --test oracle (check_test_script.py:58-76) ---------------------

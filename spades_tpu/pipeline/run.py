@@ -17,6 +17,7 @@ from ..graph.simplify import SimplifyConfig
 from .spades_stages import (
     ChromosomeRemoval,
     DomainAnalysis,
+    LoadGraph,
     SecondPhaseSetup,
     SeriesAnalysis,
     SSEdgeSplit,
@@ -79,6 +80,7 @@ def run_assembly(
     hmm_profiles: list | None = None,
     ss: str | None = None,
     series_analysis: str | None = None,
+    assembly_graph: str | None = None,
 ) -> RunResult:
     os.makedirs(output_dir, exist_ok=True)
     prev_contigs: list[str] = list(trusted_contigs or [])
@@ -108,12 +110,18 @@ def run_assembly(
         )
         ctx.hmm_profiles = hmm_profiles or []
         mgr = StageManager(SavesPolicy(checkpoints))
-        mgr.add(
-            Construction(min_count=min_count),
-            GenomicInfoFiller(),
-            Simplification(mode_simplify_config(mode, read_length)),
-            GapClosing("late"),
-        )
+        if assembly_graph and ki == len(k_list) - 1:
+            # start from a GFA graph (load_graph.cpp / --assembly-graph)
+            mgr.add(LoadGraph(assembly_graph), GenomicInfoFiller())
+        elif assembly_graph:
+            continue  # GFA input: no multi-K laddering, main iteration only
+        else:
+            mgr.add(
+                Construction(min_count=min_count),
+                GenomicInfoFiller(),
+                Simplification(mode_simplify_config(mode, read_length)),
+                GapClosing("late"),
+            )
         if is_last and series_analysis:
             # meta mode multi-sample series analysis (pipeline.cpp gates on
             # cfg.series_analysis being set)

@@ -206,6 +206,43 @@ class MismatchCorrection(AssemblyStage):
         log.info("mismatch correction: %d bases fixed", n)
 
 
+class LoadGraph(AssemblyStage):
+    """Start from an existing GFA assembly graph instead of reads
+    (projects/spades/load_graph.cpp + --assembly-graph CLI option)."""
+
+    name = "Load Graph"
+    id = "load_graph"
+
+    def __init__(self, gfa_path: str):
+        self.gfa_path = gfa_path
+
+    def run(self, ctx: AssemblyContext) -> None:
+        from ..graph.from_gfa import graph_from_gfa
+        from ..io.gfa import read_gfa
+
+        ctx.graph = graph_from_gfa(read_gfa(self.gfa_path), ctx.k)
+        # synthesize (k+1)-mer pseudo-counts from edge coverage so the
+        # coverage-model stage has a histogram to fit
+        import numpy as np
+
+        cov = np.maximum(np.round(ctx.graph.coverage()), 1).astype(np.int64)
+        lens = ctx.graph.edge_kmer_lengths()
+        counts = np.repeat(cov, np.maximum(lens, 1))
+        from ..ops.count import KmerCounts
+        from ..core import kmers as KK
+
+        W = KK.kmer_words(ctx.k + 1)
+        ctx.p1_counts = KmerCounts(
+            k=ctx.k + 1,
+            words=np.zeros((len(counts), W), np.uint32),
+            counts=counts,
+        )
+        log.info(
+            "loaded graph from %s: %d edges, %d vertices",
+            self.gfa_path, ctx.graph.num_edges, ctx.graph.num_vertices,
+        )
+
+
 class SecondPhaseSetup(AssemblyStage):
     """Two-step (meta) repeat resolution hand-off
     (projects/spades/second_phase_setup.cpp + pipeline.cpp:139-151): preserve
