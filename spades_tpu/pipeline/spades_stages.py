@@ -69,7 +69,15 @@ class Simplification(AssemblyStage):
 
     def run(self, ctx: AssemblyContext) -> None:
         cfg = self.cfg or SimplifyConfig(read_length=ctx.read_length)
-        ctx.graph, stats = simplify(ctx.graph, ctx.genomic_info, cfg)
+        from ..alignment.kmer_mapper import KmerMapper
+
+        # record bulge-glue substitutions so later mapping stages still hit
+        # k-mers of removed arms (alignment/kmer_mapper.hpp role)
+        ctx.kmer_mapper = KmerMapper(k=ctx.k)
+        ctx.graph, stats = simplify(
+            ctx.graph, ctx.genomic_info, cfg, kmer_mapper=ctx.kmer_mapper
+        )
+        ctx.kmer_mapper.normalize()
         log.info(
             "simplified: %d edges (tips=%d bulges=%d ec=%d isolated=%d)",
             len(ctx.graph.canonical_edge_ids()),
@@ -407,8 +415,8 @@ class RepeatResolution(AssemblyStage):
         pe_indices, mp_indices = [], []
         is_stats = None
         for r1s, r2s, lib_type in iter_fr_libs(ctx.paired):
-            m1 = map_read_batch(idx, ctx.graph, r1s)
-            m2 = map_read_batch(idx, ctx.graph, r2s)
+            m1 = map_read_batch(idx, ctx.graph, r1s, kmer_mapper=ctx.kmer_mapper)
+            m2 = map_read_batch(idx, ctx.graph, r2s, kmer_mapper=ctx.kmer_mapper)
             st = estimate_insert_size(
                 ctx.graph, m1, m2, [len(r) for r in r1s], [len(r) for r in r2s]
             )

@@ -52,6 +52,7 @@ class AssemblyContext:
     read_length: int = 100
     insert_size: float = 0.0
     long_read_storage: Any = None                       # LongReadStorage
+    kmer_mapper: Any = None                             # alignment.kmer_mapper.KmerMapper
     config: Any = None
 
     def saves_dir(self, stage_id: str) -> str:
