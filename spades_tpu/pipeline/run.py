@@ -183,4 +183,20 @@ def run_assembly(
         src = os.path.join(last_kdir, f)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(output_dir, f))
+    # breaking-scaffolds step (outer pipeline 'bs' stage): split scaffolds at
+    # N-gap runs into misc/broken_scaffolds.fasta
+    sc_path = os.path.join(output_dir, "scaffolds.fasta")
+    if os.path.exists(sc_path):
+        from ..io.contigs import break_scaffolds
+        from ..io.fastx import read_fastx
+
+        recs = [(r.name, r.seq) for r in read_fastx(sc_path)]
+        modified, broken = break_scaffolds(recs)
+        if modified:
+            misc = os.path.join(output_dir, "misc")
+            os.makedirs(misc, exist_ok=True)
+            with open(os.path.join(misc, "broken_scaffolds.fasta"), "w") as fh:
+                for name, seq in broken:
+                    fh.write(f">{name}\n{seq}\n")
+            log.info("broken scaffolds -> %s", os.path.join(misc, "broken_scaffolds.fasta"))
     return result

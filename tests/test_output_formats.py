@@ -81,3 +81,26 @@ class TestDot:
         assert txt.startswith("digraph")
         assert txt.count("->") == len(g.alive_edge_ids())
         assert "cov=" in txt
+
+
+class TestBreakingScaffolds:
+    def test_break_at_n_runs(self):
+        from spades_tpu.io.contigs import break_scaffolds
+
+        mod, out = break_scaffolds([("s1 extra", "AAAA" + "N" * 3 + "CCCC")])
+        assert mod
+        assert out == [("s1_1 extra", "AAAA"), ("s1_2 extra", "CCCC")]
+
+    def test_short_n_runs_kept(self):
+        from spades_tpu.io.contigs import break_scaffolds
+
+        mod, out = break_scaffolds([("s1", "AAANNCCC")])
+        assert not mod
+        assert out == [("s1_1", "AAANNCCC")]
+
+    def test_leading_and_trailing_ns(self):
+        from spades_tpu.io.contigs import break_scaffolds
+
+        mod, out = break_scaffolds([("s", "NNNNACGTNNNN")])
+        assert mod
+        assert out == [("s_1", "ACGT")]
