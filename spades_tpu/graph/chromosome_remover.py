@@ -114,3 +114,48 @@ def remove_chromosomal(g: CondensedGraph, cfg: PlasmidConfig | None = None) -> i
             removed += g.kill_edges(np.array(edges, np.int64))
     log.info("chromosome removal: %d edges removed", removed)
     return removed
+
+
+def metaplasmid_iteration(
+    g: CondensedGraph, ext_limit: float, cfg: PlasmidConfig | None = None
+) -> tuple[list[tuple[str, str]], int]:
+    """One metaplasmid/metaviral extraction round at coverage cutoff
+    `ext_limit` (ChromosomeRemover with ext_limit_, `modules/
+    chromosome_remover.cpp:283-397`): emit uniform components whose coverage
+    clears the cutoff (OutputSuspiciousComponents naming
+    `CUTOFF_<c>_COMPONENT_<n>_...`), then strip edges below the cutoff and
+    drop dust components (RemoveNearlyEverythingByCoverage +
+    FilterSmallComponents).  Returns (component contigs, edges removed)."""
+    cfg = cfg or PlasmidConfig()
+    cov = g.coverage()
+    lens = g.edge_kmer_lengths()
+    out: list[tuple[str, str]] = []
+    comp_count = 0
+    var = 0.3
+    for comp in _components(g).values():
+        total_len = int(sum(lens[e] for e in comp))
+        if not (1000 <= total_len <= 200000):
+            continue
+        avg = float(sum(cov[e] * lens[e] for e in comp) / max(total_len, 1))
+        if avg < ext_limit * 1.3:
+            continue  # coverage too close to the current cutoff
+        good_len = int(sum(lens[e] for e in comp if abs(cov[e] - avg) <= var * avg))
+        if good_len < 0.8 * total_len:
+            continue  # coverage too variable across the component
+        comp_count += 1
+        count = 1
+        for e in comp:
+            if int(g.e_conj[e]) < e:
+                continue
+            name = (f"CUTOFF_{int(ext_limit)}_COMPONENT_{comp_count}_EDGE_{count}"
+                    f"_length_{int(lens[e])}_cov_{cov[e]:.6f}_id_{e}")
+            out.append((name, g.edge_seq(int(e))))
+            count += 1
+    # strip everything below the cutoff, then dust
+    kill = [int(e) for e in g.alive_edge_ids() if cov[e] < ext_limit]
+    removed = g.kill_edges(np.array(kill, np.int64)) if kill else 0
+    for comp in _components(g).values():
+        total_len = int(sum(g.edge_kmer_lengths()[e] for e in comp))
+        if total_len < cfg.min_component_length:
+            removed += g.kill_edges(np.array(comp, np.int64))
+    return out, removed

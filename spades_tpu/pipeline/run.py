@@ -18,6 +18,7 @@ from .spades_stages import (
     ChromosomeRemoval,
     DomainAnalysis,
     LoadGraph,
+    MetaplasmidExtraction,
     SecondPhaseSetup,
     SeriesAnalysis,
     SSEdgeSplit,
@@ -138,6 +139,9 @@ def run_assembly(
             # extract plasmid candidates before repeat resolution
             # (pipeline.cpp plasmid branch: ChromosomeRemoval stage)
             mgr.add(ChromosomeRemoval())
+        if is_last and mode in ("metaplasmid", "metaviral"):
+            # iterative coverage-cutoff extraction loop (AddMetaplasmidStages)
+            mgr.add(MetaplasmidExtraction())
         if is_last and careful:
             # careful mode polishes edge sequences before output
             # (pipeline.cpp gates MismatchCorrection on cfg.correct_mismatches)

@@ -199,6 +199,41 @@ class ChromosomeRemoval(AssemblyStage):
         )
 
 
+class MetaplasmidExtraction(AssemblyStage):
+    """Iterative metaplasmid/metaviral extraction loop
+    (pipeline.cpp:84-96 AddMetaplasmidStages): coverage cutoffs grow
+    cov -> max(cov + additive_step, cov * relative_step) up to 600
+    (plasmid_mode.info:16-17 additive_step=5, relative_step=1.3); each round
+    emits uniform high-coverage components and strips the background."""
+
+    name = "Metaplasmid Extraction"
+    id = "metaplasmid_extraction"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if ctx.graph is None or ctx.graph.num_edges == 0:
+            log.info("metaplasmid loop: empty graph, nothing to extract")
+            return
+        from ..graph.chromosome_remover import metaplasmid_iteration
+
+        cov, add, mult, max_cov = 5.0, 5.0, 1.3, 600.0
+        total_components = 0
+        while cov < max_cov and ctx.graph.num_edges > 0:
+            comps, removed = metaplasmid_iteration(ctx.graph, cov)
+            if comps:
+                path = os.path.join(
+                    ctx.output_dir, f"components{int(cov):04d}.fasta"
+                )
+                with open(path, "w") as fh:
+                    for name, seq in comps:
+                        fh.write(f">{name}\n{seq}\n")
+                total_components += len(comps)
+            cov = max(cov + add, cov * mult)
+        log.info(
+            "metaplasmid loop: %d component contigs emitted, %d edges remain",
+            total_components, ctx.graph.num_edges,
+        )
+
+
 class MismatchCorrection(AssemblyStage):
     """Careful-mode edge-sequence polishing (mismatch_correction.cpp:119-280)."""
 
