@@ -293,3 +293,92 @@ def scaffold_paths(
         joined.append(cur)
         consumed[i] = True
     return joined
+
+
+def build_scaffold_graph_2015(
+    g: CondensedGraph,
+    pi: PairedIndex,
+    min_edge_length: int = 500,
+    min_weight: float = 2.0,
+):
+    """Mate-pair scaffold graph over long unique edges.
+
+    The scaffolder2015 construction (`modules/path_extend/scaffolder2015/
+    scaffold_graph_constructor.hpp` + `connection_condition2015.hpp`):
+    scaffold vertices are oriented long edges, a scaffold edge (e1 -> e2)
+    aggregates the mate-pair support weight; links below `min_weight` are
+    dropped and only the max-weight link per ordered pair is kept."""
+    from ..aux_graphs.scaffold_graph import ScaffoldGraph
+
+    lens = g.edge_kmer_lengths()
+    long_edge = np.zeros(len(g.e_start), bool)
+    ids = g.alive_edge_ids()
+    long_edge[ids[lens[ids] >= min_edge_length]] = True
+
+    sg = ScaffoldGraph()
+    for e in np.flatnonzero(long_edge):
+        sg.add_vertex(int(e))
+    keep = long_edge[pi.e1] & long_edge[pi.e2] & (pi.e1 != pi.e2)
+    if keep.any():
+        # aggregate weight per (e1, e2) over all distances
+        key = pi.e1[keep] * np.int64(len(g.e_start)) + pi.e2[keep]
+        order = np.argsort(key)
+        k_s = key[order]
+        w_s = pi.weight[keep][order]
+        first = np.concatenate([[True], k_s[1:] != k_s[:-1]])
+        gid = np.cumsum(first) - 1
+        w_sum = np.zeros(int(gid[-1]) + 1)
+        np.add.at(w_sum, gid, w_s)
+        uniq = k_s[first]
+        e1u = (uniq // len(g.e_start)).astype(np.int64)
+        e2u = (uniq % len(g.e_start)).astype(np.int64)
+        ok = w_sum >= min_weight
+        sg.add_edges(e1u[ok], e2u[ok], w_sum[ok])
+        sg.dedup()
+    return sg
+
+
+def scaffold_with_graph_2015(
+    g: CondensedGraph, sg, paths: list[Path], cfg: PEConfig, default_gap: int = 100
+) -> list[Path]:
+    """Join paths along unambiguous scaffold-graph links.
+
+    A link is used when its source has scaffold out-degree 1 and its target
+    in-degree 1 (the unambiguous-connection rule of the 2015 scaffolder),
+    the source edge ends a path and the target edge starts another."""
+    if sg.num_edges == 0 or not paths:
+        return paths
+    out_deg = sg.out_degrees()
+    in_deg = sg.in_degrees()
+    path_by_first = {p.edges[0]: i for i, p in enumerate(paths)}
+    path_by_last = {p.edges[-1]: i for i, p in enumerate(paths)}
+
+    next_of: dict[int, int] = {}
+    for s, d in zip(sg.src, sg.dst):
+        s, d = int(s), int(d)
+        if out_deg.get(s) == 1 and in_deg.get(d) == 1:
+            i = path_by_last.get(s)
+            j = path_by_first.get(d)
+            if i is not None and j is not None and i != j:
+                next_of[i] = j
+
+    has_prev = set(next_of.values())
+    joined: list[Path] = []
+    consumed = [False] * len(paths)
+    for i in range(len(paths)):
+        if consumed[i] or i in has_prev:
+            continue
+        cur = Path(list(paths[i].edges), list(paths[i].gaps))
+        consumed[i] = True
+        j = next_of.get(i)
+        while j is not None and not consumed[j]:
+            q = paths[j]
+            cur.edges += list(q.edges)
+            cur.gaps += [default_gap] + list(q.gaps[1:])
+            consumed[j] = True
+            j = next_of.get(j)
+        joined.append(cur)
+    for i in range(len(paths)):
+        if not consumed[i]:
+            joined.append(paths[i])
+    return joined

@@ -120,6 +120,8 @@ def run_assembly(
             mgr.add(
                 Construction(min_count=min_count),
                 GenomicInfoFiller(),
+                # gap_closer_enable + gc.before_simplify (pipeline.cpp:160-167)
+                GapClosing("early"),
                 Simplification(mode_simplify_config(mode, read_length)),
                 GapClosing("late"),
             )

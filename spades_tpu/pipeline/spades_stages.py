@@ -503,6 +503,21 @@ class RepeatResolution(AssemblyStage):
 
         ctx.contigs, ctx.contig_paths = to_contigs(paths)
         scaffolds = scaffold_paths(ctx.graph, scaffold_pi, paths, cfg)
+        if mp_indices:
+            # mate-pair scaffold graph pass (scaffolder2015): join remaining
+            # paths along unambiguous long-edge links
+            from ..paired.path_extend import (
+                build_scaffold_graph_2015,
+                scaffold_with_graph_2015,
+            )
+
+            mp_pi = merge_paired_indices(mp_indices)
+            sg = build_scaffold_graph_2015(ctx.graph, mp_pi)
+            scaffolds = scaffold_with_graph_2015(ctx.graph, sg, scaffolds, cfg)
+            log.info(
+                "mate-pair scaffold graph: %d vertices, %d links",
+                sg.num_vertices, sg.num_edges,
+            )
         ctx.scaffolds, ctx.scaffold_paths = to_contigs(scaffolds)
         log.info(
             "%d contigs, %d scaffolds after repeat resolution",

@@ -112,3 +112,61 @@ class TestScaffolding:
         assert abs(len(best) - len(genome)) < 25
         core_l = left[:250]
         assert core_l in best or dna.revcomp_str(core_l) in best
+
+
+class TestScaffolder2015:
+    def _graph_three_long_edges(self, rng):
+        import numpy as np
+        from spades_tpu.graph.graph import CondensedGraph
+        from tests.conftest import random_dna
+
+        k = 21
+        segs = [random_dna(rng, 800) for _ in range(3)]
+        g = CondensedGraph.from_sequences(segs, k)
+        return g, segs
+
+    def test_graph_and_join(self, rng):
+        import numpy as np
+        from spades_tpu.paired.paired_info import PairedIndex
+        from spades_tpu.paired.path_extend import (
+            PEConfig, Path, build_scaffold_graph_2015, scaffold_with_graph_2015,
+        )
+
+        g, segs = self._graph_three_long_edges(rng)
+        eA, eB, eC = 0, 2, 4
+        # mate-pair support: A -> B (strong), A -> C (weak, filtered)
+        pi = PairedIndex(
+            e1=np.array([eA, eA, eB], np.int64),
+            e2=np.array([eB, eC, eC], np.int64),
+            dist=np.array([2000, 4000, 2000], np.int64),
+            weight=np.array([9.0, 1.0, 8.0]),
+        )
+        sg = build_scaffold_graph_2015(g, pi, min_edge_length=100, min_weight=2.0)
+        assert sg.num_edges == 2  # A->B and B->C survive, A->C filtered
+        paths = [Path([eA]), Path([eB]), Path([eC])]
+        joined = scaffold_with_graph_2015(g, sg, paths, PEConfig())
+        assert len(joined) == 1
+        assert joined[0].edges == [eA, eB, eC]
+        assert joined[0].gaps[1] > 0  # N gap inserted at the join
+
+    def test_ambiguous_links_not_joined(self, rng):
+        import numpy as np
+        from spades_tpu.paired.paired_info import PairedIndex
+        from spades_tpu.paired.path_extend import (
+            PEConfig, Path, build_scaffold_graph_2015, scaffold_with_graph_2015,
+        )
+
+        g, _ = self._graph_three_long_edges(rng)
+        eA, eB, eC = 0, 2, 4
+        # A links to BOTH B and C strongly -> ambiguous, no join
+        pi = PairedIndex(
+            e1=np.array([eA, eA], np.int64),
+            e2=np.array([eB, eC], np.int64),
+            dist=np.array([2000, 2000], np.int64),
+            weight=np.array([9.0, 9.0]),
+        )
+        sg = build_scaffold_graph_2015(g, pi, min_edge_length=100)
+        joined = scaffold_with_graph_2015(
+            g, sg, [Path([eA]), Path([eB]), Path([eC])], PEConfig()
+        )
+        assert len(joined) == 3
