@@ -1,0 +1,7 @@
+"""`rnaviralspades.py` wrapper — see `spades_tpu.pipeline.wrappers`."""
+import sys
+
+from .wrappers import rnaviralspades as main
+
+if __name__ == "__main__":
+    sys.exit(main())

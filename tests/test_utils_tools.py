@@ -77,3 +77,29 @@ class TestCorrectorTool:
         txt = open(os.path.join(wd, "corrected_contigs.fasta")).read()
         seq = "".join(txt.split("\n")[1:])
         assert seq == genome
+
+
+class TestModeWrappers:
+    def test_wrappers_inject_mode_flags(self, tmp_path, rng):
+        from tests.conftest import random_dna
+        from spades_tpu.pipeline.wrappers import rnaspades
+
+        reads = str(tmp_path / "r.fasta")
+        s = random_dna(rng, 400)
+        with open(reads, "w") as fh:
+            for i in range(100):
+                a = int(rng.integers(0, 320))
+                fh.write(f">r{i}\n{s[a:a+80]}\n")
+        out = str(tmp_path / "o")
+        rc = rnaspades(["-s", reads, "-o", out, "--platform", "cpu", "-k", "21"])
+        assert rc == 0
+        import os
+        assert os.path.exists(os.path.join(out, "transcripts.fasta"))
+        params = open(os.path.join(out, "params.txt")).read()
+        assert "mode=rna" in params
+
+    def test_all_wrappers_importable(self):
+        from spades_tpu.pipeline import (  # noqa: F401
+            coronaspades, metaplasmidspades, metaspades, metaviralspades,
+            plasmidspades, rnaspades, rnaviralspades,
+        )
