@@ -176,3 +176,67 @@ def pair_info_sharded(g, edge1, start1, edge2, start2, insert_size: float):
     o2_end = np.asarray(g.e_len)[e2] - start2[ok]
     d = np.round(o1 + insert_size - o2_end).astype(np.int64)
     return e1, e2, d
+
+
+def _votes_shard_body(codes, lengths, n_mask, index_words, index_edge,
+                      index_off, index_strand, conj, e_len, e_off,
+                      k: int, axis: str, pool_len: int):
+    """Map my read shard, scatter per-position base votes, psum across the
+    mesh — the MPI_SUM vote merge of MismatchCorrectionMPI
+    (`hpcspades/mpi/stages/mismatch_correction_mpi.hpp`)."""
+    edge, start, votes_n = _map_shard_body(
+        codes, lengths, n_mask, index_words, index_edge, index_off,
+        index_strand, conj, e_len, k=k, axis=axis,
+    )
+    R, L = codes.shape
+    pos = start[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    mapped = (edge >= 0)[:, None]
+    safe_e = jnp.clip(edge, 0, e_len.shape[0] - 1)
+    inside = (pos >= 0) & (pos < e_len[safe_e][:, None]) & mapped
+    valid_base = (codes < 4) & ~n_mask & (jnp.arange(L)[None, :] < lengths[:, None])
+    ok = inside & valid_base
+    flat = jnp.where(ok, e_off[safe_e][:, None] + pos, pool_len)
+    base = jnp.where(ok, codes, 0).astype(jnp.int32)
+    votes = jnp.zeros((pool_len + 1, 4), jnp.int32)
+    votes = votes.at[flat.reshape(-1), base.reshape(-1)].add(
+        ok.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    return jax.lax.psum(votes[:pool_len], axis)
+
+
+def position_votes_sharded(index, g, batch, mesh: Mesh | None = None) -> np.ndarray:
+    """Multi-chip per-position base votes: (len(seq_pool), 4) int32.
+
+    Same contract as `alignment.mismatch.position_votes`, computed with read
+    shards across the mesh and one psum (the distributed vote merge)."""
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    R = batch.codes.shape[0]
+    pad = (-R) % n_dev
+    codes = np.pad(batch.codes, ((0, pad), (0, 0)))
+    lengths = np.pad(batch.lengths, (0, pad))
+    n_mask = np.pad(batch.n_mask, ((0, pad), (0, 0)))
+    pool_len = int(len(g.seq_pool))
+
+    body = functools.partial(
+        _votes_shard_body, k=index.k, axis=axis, pool_len=pool_len
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis, None),
+                      P(None, None), P(None), P(None), P(None), P(None),
+                      P(None), P(None)),
+            out_specs=P(None, None),
+        )
+    )
+    votes = fn(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(n_mask),
+        jnp.asarray(index.kmers), jnp.asarray(index.edge, jnp.int32),
+        jnp.asarray(index.offset, jnp.int32), jnp.asarray(index.strand, jnp.int32),
+        jnp.asarray(g.e_conj, jnp.int32), jnp.asarray(g.e_len, jnp.int32),
+        jnp.asarray(g.e_off, jnp.int32),
+    )
+    return np.asarray(votes)

@@ -87,3 +87,20 @@ class TestShardedMapping:
         same = e2 == e1
         assert same.all()
         assert np.abs(d).max() <= 2
+
+
+class TestShardedVotes:
+    def test_matches_host_position_votes(self, graph_and_reads):
+        g, reads = graph_and_reads
+        from spades_tpu.alignment.mismatch import position_votes
+        from spades_tpu.parallel.sharded_mapping import position_votes_sharded
+
+        index = build_edge_index(g)
+        batch = ReadBatch.from_sequences(reads)
+        mesh = make_mesh(4)
+        got = position_votes_sharded(index, g, batch, mesh)
+        exp = position_votes(g, reads, index)
+        assert got.shape == exp.shape
+        # identical votes wherever the two mappers agree; allow tiny slack
+        diff = np.abs(got.astype(np.int64) - exp.astype(np.int64)).sum()
+        assert diff <= 0.02 * exp.sum() + 1, (diff, exp.sum())
