@@ -179,13 +179,19 @@ def extract_paths(g: CondensedGraph, results: dict[int, VertexResult]) -> list[l
     return paths
 
 
-def merge_paths(g: CondensedGraph, paths: list[list[int]]) -> tuple[CondensedGraph, dict[int, int]]:
+def merge_paths(
+    g: CondensedGraph,
+    paths: list[list[int]],
+    link_overlaps: dict[tuple[int, int], int] | None = None,
+) -> tuple[CondensedGraph, dict[int, int]]:
     """Merge each multi-edge path into a single edge (graph_resolver MergePaths).
 
     Returns the transformed graph and an original-edge -> new-edge map.
     The transformed graph keeps the original vertices; each merged path runs
-    from the start vertex of its first edge to the end vertex of its last,
-    with consecutive edges overlapping by k."""
+    from the start vertex of its first edge to the end vertex of its last.
+    Consecutive edges overlap by k, unless `link_overlaps[(prev, next)]`
+    gives a different per-link overlap — the multiplexed-dBG variable-overlap
+    case (`graph_resolver.cpp:89-91` uses graph.link_length per junction)."""
     out = CondensedGraph(
         k=g.k,
         e_start=np.zeros(0, np.int64), e_end=np.zeros(0, np.int64),
@@ -194,12 +200,15 @@ def merge_paths(g: CondensedGraph, paths: list[list[int]]) -> tuple[CondensedGra
         alive=np.zeros(0, bool), seq_pool=np.zeros(0, np.uint8),
         v_conj=g.v_conj.copy(),
     )
+    link_overlaps = link_overlaps or {}
     edge_map: dict[int, int] = {}
     for path in paths:
         codes = g.edge_codes(path[0]).copy()
         cov = float(g.e_cov[path[0]])
-        for e in path[1:]:
-            codes = np.concatenate([codes, g.edge_codes(e)[g.k:]])
+        for prev, e in zip(path, path[1:]):
+            ov = link_overlaps.get((prev, e), g.k)
+            ov = min(ov, len(g.edge_codes(e)))
+            codes = np.concatenate([codes, g.edge_codes(e)[ov:]])
             cov += float(g.e_cov[e])
         new_e, new_conj = out.add_edge_pair(
             int(g.e_start[path[0]]), int(g.e_end[path[-1]]), codes, cov

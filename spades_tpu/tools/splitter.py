@@ -170,7 +170,16 @@ def main(argv=None) -> int:
             )
 
     paths = extract_paths(g, results)
-    resolved, edge_map = merge_paths(g, paths)
+    # per-link overlaps from the GFA (variable-overlap / multiplexed dBG):
+    # default k, overridden by explicit L-record CIGARs
+    link_ov: dict[tuple[int, int], int] = {}
+    for a, o1, b, o2, ov in gg.links:
+        if a in name2edge and b in name2edge and ov:
+            ea = name2edge[a] if o1 == "+" else conj(name2edge[a])
+            eb = name2edge[b] if o2 == "+" else conj(name2edge[b])
+            link_ov[(ea, eb)] = ov
+            link_ov[(conj(eb), conj(ea))] = ov
+    resolved, edge_map = merge_paths(g, paths, link_ov)
     write_gfa(os.path.join(args.workdir, "resolved_graph.gfa"), resolved)
     with open(os.path.join(args.workdir, "resolved_paths.fasta"), "w") as out:
         for i, path in enumerate(paths):
