@@ -18,6 +18,40 @@ from ..ops import count as _count
 from ..ops import extension as _ext
 
 
+def _count_auto(sequences, k1: int, batch_size: int) -> "_count.KmerCounts":
+    """Count (k+1)-mers on the attached hardware: the multi-chip sharded
+    counter (hash routing + all_to_all over ICI, `parallel/sharded_count`)
+    when more than one device is visible, else the single-chip engine —
+    the ConstructionMPI-vs-Construction dispatch of the reference
+    (`hpcspades/pipeline.cpp`), decided by topology instead of a binary."""
+    import jax
+
+    try:
+        n_dev = len(jax.devices())
+    except Exception:
+        n_dev = 1
+    if n_dev <= 1:
+        return _count.count_sequences(sequences, k1, batch_size=batch_size)
+
+    from ..core.reads import batch_iter
+    from ..parallel.sharded_count import count_kmers_sharded, make_mesh
+
+    mesh = make_mesh()
+    runs = []
+    for batch in batch_iter(sequences, batch_size=batch_size):
+        if batch.codes.shape[1] < k1:
+            continue
+        runs.append(count_kmers_sharded(batch, k1, mesh))
+    if not runs:
+        from ..core import kmers as KK
+
+        W = KK.kmer_words(k1)
+        return _count.KmerCounts(
+            k=k1, words=np.zeros((0, W), np.uint32), counts=np.zeros(0, np.int64)
+        )
+    return _count.merge_counts(runs)
+
+
 @dataclass
 class ConstructionResult:
     graph: CondensedGraph
@@ -38,7 +72,7 @@ def construct_graph(
     """
     if k % 2 == 0:
         raise ValueError("k must be odd")
-    p1 = _count.count_sequences(sequences, k + 1, batch_size=batch_size)
+    p1 = _count_auto(sequences, k + 1, batch_size)
     if min_count > 1:
         keep = p1.counts >= min_count
         p1 = _count.KmerCounts(k=p1.k, words=p1.words[keep], counts=p1.counts[keep])
