@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     adv.add_argument("--phred-offset", type=int, default=None, help="accepted for parity")
     adv.add_argument("--checkpoints", default="last", choices=("none", "last", "all"))
     adv.add_argument("--continue", dest="cont", action="store_true", help="resume from the last checkpoint")
+    adv.add_argument("--profile", action="store_true",
+                     help="capture a jax profiler trace of the run (output/profile/)")
     adv.add_argument("--restart-from", help="restart from stage id (k<K>:<stage> or 'last')")
     adv.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     adv.add_argument("--disable-gzip-output", action="store_true")
@@ -124,7 +126,8 @@ def main(argv=None) -> int:
     if not args.output_dir:
         print("error: the output directory (-o) is required", file=sys.stderr)
         return 64  # InvalidInputFormat family (support.py:39-59)
-    if not (args.pe1 or args.single or args.interlaced or args.mp1 or args.merged or args.dataset):
+    if not (args.pe1 or args.single or args.interlaced or args.mp1
+            or args.merged or args.dataset or args.assembly_graph):
         print("error: no input reads specified", file=sys.stderr)
         return 64
 
@@ -134,6 +137,12 @@ def main(argv=None) -> int:
         from ..utils import timetracer
 
         timetracer.enable()
+    if args.profile:
+        # device-level tracing (the TPU analog of the Chrome time trace,
+        # SURVEY §5: jax profiler traces + per-stage named scopes)
+        import jax
+
+        jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
     mode = detect_mode(args)
     log.info("spades_tpu 0.1.0, mode=%s, output=%s", mode, args.output_dir)
 
@@ -323,6 +332,11 @@ def main(argv=None) -> int:
         tpath = os.path.join(args.output_dir, "spades_time_trace.json")
         timetracer.write(tpath)
         log.info("time trace -> %s", tpath)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("jax profiler trace -> %s", os.path.join(args.output_dir, "profile"))
     log.info("======= spades_tpu finished. Results in %s", args.output_dir)
     return 0
 

@@ -61,3 +61,26 @@ def ecoli_1k_reference():
     from spades_tpu.io.fastx import read_sequences
 
     return next(iter(read_sequences(p)))
+
+
+def random_condensed_graph(rng, n_long: int = 6, k: int = 21, mutate: int = 3):
+    """Random-graph generator fixture (the reference's random_graph.hpp
+    analog, SURVEY.md §4): build a graph by constructing from reads of a
+    random genome with random SNP variants, giving realistic tangles."""
+    from spades_tpu.pipeline.construction import construct_graph
+
+    genome = random_dna(rng, 300 * n_long)
+    seqs = [genome]
+    # SNP haplotype variants create bulges
+    for _ in range(mutate):
+        pos = int(rng.integers(k + 1, len(genome) - k - 1))
+        alt = "ACGT"[(("ACGT".index(genome[pos])) + 1) % 4]
+        seqs.append(genome[pos - k : pos] + alt + genome[pos + 1 : pos + k + 1])
+    reads = []
+    for s in seqs:
+        cov = 30 if s is genome else 6
+        for _ in range(max(3, cov * len(s) // 100)):
+            a = int(rng.integers(0, max(1, len(s) - 100)))
+            reads.append(s[a : a + 100])
+    res = construct_graph(reads, k)
+    return res.graph
