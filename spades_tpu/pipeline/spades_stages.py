@@ -369,6 +369,23 @@ class DomainAnalysis(AssemblyStage):
         log.info("domain analysis: %d hits in %d clusters", len(all_hits), len(clusters))
 
 
+def _assembly_stats(contigs) -> str:
+    """N50/total/longest summary line (the reference's INFO telemetry +
+    nightly QUAST metric surface, SURVEY §4/§5)."""
+    lens = sorted((len(c.seq) for c in contigs), reverse=True)
+    if not lens:
+        return "0 contigs"
+    total = sum(lens)
+    acc, n50 = 0, lens[-1]
+    for L in lens:
+        acc += L
+        if acc * 2 >= total:
+            n50 = L
+            break
+    return (f"{len(lens)} contigs, total {total} bp, longest {lens[0]} bp, "
+            f"N50 {n50} bp")
+
+
 class ContigOutput(AssemblyStage):
     """Emit contigs/scaffolds/GFA (contig_output_stage.cpp equivalent)."""
 
@@ -404,6 +421,8 @@ class ContigOutput(AssemblyStage):
         if ctx.scaffold_paths:
             write_paths(os.path.join(d, "scaffolds.paths"), ctx.scaffold_paths, ctx.graph)
         log.info("%d contigs -> %s", len(ctx.contigs), d)
+        if ctx.contigs:
+            log.info("assembly stats: %s", _assembly_stats(ctx.contigs))
 
 
 class RepeatResolution(AssemblyStage):

@@ -104,3 +104,20 @@ class TestBreakingScaffolds:
         mod, out = break_scaffolds([("s", "NNNNACGTNNNN")])
         assert mod
         assert out == [("s_1", "ACGT")]
+
+
+class TestAssemblyStats:
+    def test_n50(self):
+        from spades_tpu.io.contigs import Contig
+        from spades_tpu.pipeline.spades_stages import _assembly_stats
+
+        contigs = [Contig(name=f"c{i}", seq="A" * L, coverage=1.0, edge_id=-1)
+                   for i, L in enumerate([100, 200, 300, 400])]
+        s = _assembly_stats(contigs)
+        assert "4 contigs" in s and "total 1000 bp" in s
+        assert "longest 400 bp" in s and "N50 300 bp" in s
+
+    def test_empty(self):
+        from spades_tpu.pipeline.spades_stages import _assembly_stats
+
+        assert _assembly_stats([]) == "0 contigs"
