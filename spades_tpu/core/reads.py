@@ -111,13 +111,41 @@ def batch_iter(
     seq_iter: Iterable[str | bytes],
     batch_size: int = 65536,
     pad_len_to: int = 8,
+    max_batch_nt: int = 64 << 20,
 ) -> Iterable[ReadBatch]:
-    """Group a sequence stream into fixed-size ReadBatches."""
+    """Group a sequence stream into fixed-shape ReadBatches.
+
+    Batches flush at `batch_size` sequences OR when the padded footprint
+    (count x longest-in-batch) would exceed `max_batch_nt` — mixed-length
+    inputs (reads + long contigs) otherwise pad every row to the longest
+    sequence and explode the window count."""
     buf: list = []
+    maxlen = 0
     for s in seq_iter:
+        if buf and (len(buf) + 1) * max(maxlen, len(s)) > max_batch_nt:
+            yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
+            buf, maxlen = [], 0
         buf.append(s)
+        maxlen = max(maxlen, len(s))
         if len(buf) >= batch_size:
             yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
-            buf = []
+            buf, maxlen = [], 0
     if buf:
         yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
+
+
+def chop_sequences(seqs: Iterable[str], k: int, max_len: int = 4096) -> Iterable[str]:
+    """Split sequences longer than `max_len` into chunks overlapping by k-1.
+
+    The chunks spell exactly the same k-mer multiset as the original
+    sequence (window-preserving split), so counting is unaffected; this is
+    what keeps prev-K contigs / trusted contigs from forcing every read in a
+    batch to pad to contig length."""
+    step = max_len - (k - 1)
+    assert step > 0
+    for s in seqs:
+        if len(s) <= max_len:
+            yield s
+        else:
+            for a in range(0, len(s) - (k - 1), step):
+                yield s[a : a + max_len]

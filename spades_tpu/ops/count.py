@@ -295,10 +295,13 @@ def count_reads(batches, k: int, tile: int = 512) -> KmerCounts:
 
 
 def count_sequences(seqs, k: int, batch_size: int = 65536) -> KmerCounts:
-    """Convenience: count canonical k-mers of a list of sequences."""
-    from ..core.reads import batch_iter
+    """Convenience: count canonical k-mers of a list of sequences.
 
-    return count_reads(batch_iter(seqs, batch_size=batch_size), k)
+    Long sequences are chopped into window-preserving chunks first so a
+    single long contig cannot blow up the padded batch shape."""
+    from ..core.reads import batch_iter, chop_sequences
+
+    return count_reads(batch_iter(chop_sequences(seqs, k), batch_size=batch_size), k)
 
 
 def searchsorted_rows(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:

@@ -33,12 +33,12 @@ def _count_auto(sequences, k1: int, batch_size: int) -> "_count.KmerCounts":
     if n_dev <= 1:
         return _count.count_sequences(sequences, k1, batch_size=batch_size)
 
-    from ..core.reads import batch_iter
+    from ..core.reads import batch_iter, chop_sequences
     from ..parallel.sharded_count import count_kmers_sharded, make_mesh
 
     mesh = make_mesh()
     runs = []
-    for batch in batch_iter(sequences, batch_size=batch_size):
+    for batch in batch_iter(chop_sequences(sequences, k1), batch_size=batch_size):
         if batch.codes.shape[1] < k1:
             continue
         runs.append(count_kmers_sharded(batch, k1, mesh))

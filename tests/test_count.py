@@ -89,3 +89,34 @@ def test_no_valid_kmers():
     assert kc.num_unique == 0 and kc.total == 0
     kc = C.count_sequences([], 21)
     assert kc.num_unique == 0
+
+
+class TestChopSequences:
+    def test_chop_preserves_kmer_multiset(self, rng):
+        from spades_tpu.core.reads import chop_sequences
+        from tests.conftest import random_dna
+
+        s = random_dna(rng, 5000)
+        k = 21
+        chunks = list(chop_sequences([s], k, max_len=600))
+        assert all(len(c) <= 600 for c in chunks)
+        a = count_sequences([s], k)
+        b = count_sequences(chunks, k)
+        assert np.array_equal(a.words, b.words)
+        assert np.array_equal(a.counts, b.counts)
+
+    def test_short_passthrough(self):
+        from spades_tpu.core.reads import chop_sequences
+
+        assert list(chop_sequences(["ACGT"], 3, max_len=10)) == ["ACGT"]
+
+    def test_batch_iter_bounds_padded_footprint(self, rng):
+        from spades_tpu.core.reads import batch_iter
+        from tests.conftest import random_dna
+
+        seqs = [random_dna(rng, 100)] * 50 + [random_dna(rng, 5000)]
+        batches = list(batch_iter(seqs, batch_size=1000, max_batch_nt=100_000))
+        # the long sequence is flushed into its own batch: no batch pads
+        # 50 short reads to 5000 nt
+        assert all(b.codes.size <= 110_000 for b in batches)
+        assert sum(b.num_reads for b in batches) == 51
