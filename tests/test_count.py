@@ -94,6 +94,7 @@ def test_no_valid_kmers():
 class TestChopSequences:
     def test_chop_preserves_kmer_multiset(self, rng):
         from spades_tpu.core.reads import chop_sequences
+        from spades_tpu.ops.count import count_sequences
         from tests.conftest import random_dna
 
         s = random_dna(rng, 5000)
@@ -118,5 +119,6 @@ class TestChopSequences:
         batches = list(batch_iter(seqs, batch_size=1000, max_batch_nt=100_000))
         # the long sequence is flushed into its own batch: no batch pads
         # 50 short reads to 5000 nt
-        assert all(b.codes.size <= 110_000 for b in batches)
-        assert sum(b.num_reads for b in batches) == 51
+        assert all(b.codes.size <= 120_000 for b in batches)
+        # rows are padded to a multiple of 8; count real reads by length
+        assert sum(int((b.lengths > 0).sum()) for b in batches) == 51
