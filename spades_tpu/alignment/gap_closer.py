@@ -67,11 +67,11 @@ def close_gaps(
     cfg = GapCloserConfig()
     if g.num_edges < 2 or not paired:
         return 0
-    index = index or build_edge_index(g)
     dead_end = _dead_end_edges(g)
     dead_start = _dead_start_edges(g)
     if not dead_end or not dead_start:
         return 0
+    index = index or build_edge_index(g)
 
     from ..io.libraries import iter_fr_libs
 
