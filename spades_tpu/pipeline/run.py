@@ -19,6 +19,7 @@ from .spades_stages import (
     DomainAnalysis,
     LoadGraph,
     MetaplasmidExtraction,
+    RawSimplification,
     SecondPhaseSetup,
     SeriesAnalysis,
     SSEdgeSplit,
@@ -120,7 +121,10 @@ def run_assembly(
             mgr.add(
                 Construction(min_count=min_count),
                 GenomicInfoFiller(),
-                # gap_closer_enable + gc.before_simplify (pipeline.cpp:160-167)
+                # AddSimplificationStages order (pipeline.cpp:154-176):
+                # RawSimplification -> early gapcloser -> Simplification ->
+                # late gapcloser
+                RawSimplification(),
                 GapClosing("early"),
                 Simplification(mode_simplify_config(mode, read_length)),
                 GapClosing("late"),

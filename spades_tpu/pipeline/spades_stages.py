@@ -85,6 +85,31 @@ class Simplification(AssemblyStage):
         )
 
 
+class RawSimplification(AssemblyStage):
+    """Initial cleaning before gap closing (stages/simplification.cpp:442
+    RawSimplification): a conservative tip/isolated/low-coverage pass so the
+    early gap closer and downstream stages never see the raw error tangle."""
+
+    name = "Raw Simplification"
+    id = "raw_simplification"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        if ctx.graph is None or ctx.graph.num_edges == 0:
+            return
+        cfg = SimplifyConfig(
+            read_length=ctx.read_length,
+            cycle_iter_count=2,
+            br_enabled=False,       # no bulge gluing in the raw pass
+            rel_cov_enabled=False,
+            ier_enabled=False,
+        )
+        ctx.graph, stats = simplify(ctx.graph, ctx.genomic_info, cfg)
+        log.info(
+            "raw simplification: %d edges (tips=%d ec=%d)",
+            len(ctx.graph.canonical_edge_ids()), stats.tips, stats.ec,
+        )
+
+
 class SSEdgeSplit(AssemblyStage):
     """Strand-specific edge splitting for stranded RNA libraries
     (stages/ss_edge_split.cpp + alignment/rna/ss_coverage.hpp
