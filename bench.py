@@ -104,9 +104,39 @@ def main() -> None:
                 "value": round(kmers_per_sec / 1e6, 1),
                 "unit": "Mkmers/s/chip",
                 "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 2),
+                "extra": bench_simplify(),
             }
         )
     )
+
+
+def bench_simplify() -> dict:
+    """Secondary metric: the full simplification schedule (TC/BR incl. Dijkstra
+    bulges/EC x 10 iterations + compress after every mutating pass) on a
+    1M-edge synthetic tangled graph — the graph-phase analog of the counting
+    metric.  The reference runs this stage as parallel C++
+    (`parallel_simplification_algorithms.hpp`); here it is vectorized numpy +
+    the native bulge Dijkstra, and the unit is oriented edges of the input
+    graph processed per second of schedule wall time."""
+    import time
+
+    from spades_tpu.graph.coverage_model import GenomicInfo
+    from spades_tpu.graph.simplify import SimplifyConfig, simplify
+    from spades_tpu.graph.synthetic import synthetic_tangled_graph
+
+    g = synthetic_tangled_graph(1_000_000, k=21, seed=1, fill_sequences=False)
+    e0 = g.num_edges
+    info = GenomicInfo(
+        ec_bound=5.0, trusted_bound=10.0, estimated_mean=30.0, genome_size=10**7
+    )
+    t0 = time.perf_counter()
+    g2, stats = simplify(g, info, SimplifyConfig())
+    dt = time.perf_counter() - t0
+    return {
+        "simplify_1M_edges_per_s": round(e0 / dt, 0),
+        "simplify_1M_wall_s": round(dt, 2),
+        "simplify_removed_edges": e0 - g2.num_edges,
+    }
 
 
 if __name__ == "__main__":

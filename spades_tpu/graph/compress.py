@@ -23,9 +23,8 @@ def _ragged_copy(dst, dst_starts, src, src_starts, lens):
         return
     ends = np.cumsum(lens)
     starts = ends - lens
-    r = np.arange(total)
-    seg = np.searchsorted(ends, r, side="right")
-    within = r - starts[seg]
+    seg = np.repeat(np.arange(len(lens)), lens)
+    within = np.arange(total) - starts[seg]
     dst[np.asarray(dst_starts)[seg] + within] = src[np.asarray(src_starts)[seg] + within]
 
 
@@ -51,10 +50,8 @@ def compress(g: CondensedGraph) -> CondensedGraph:
     w = (g.e_len[ids] - k).astype(np.int64)  # arc weight = length in kmers
     rc_arc = old2arc[g.e_conj[ids]]
 
-    outdeg = np.zeros(g.num_vertices, np.int64)
-    indeg = np.zeros(g.num_vertices, np.int64)
-    np.add.at(outdeg, src, 1)
-    np.add.at(indeg, dst, 1)
+    outdeg = np.bincount(src, minlength=g.num_vertices).astype(np.int64)
+    indeg = np.bincount(dst, minlength=g.num_vertices).astype(np.int64)
     # unique out-edge per vertex (valid only where outdeg == 1)
     vout = np.full(g.num_vertices, -1, np.int64)
     vout[src] = np.arange(A)
@@ -96,32 +93,55 @@ def compress(g: CondensedGraph) -> CondensedGraph:
 
     uheads, edge_of_arc = np.unique(head, return_inverse=True)
     E = uheads.shape[0]
-    n_arcs = np.zeros(E, np.int64)
-    np.maximum.at(n_arcs, edge_of_arc, pos + 1)
-    kmer_len = np.zeros(E, np.int64)
-    np.add.at(kmer_len, edge_of_arc, w)
+    # chain positions are a 0..size-1 ranking, so max(pos)+1 == member count
+    n_arcs = np.bincount(edge_of_arc, minlength=E).astype(np.int64)
+    kmer_len = np.bincount(edge_of_arc, weights=w, minlength=E).astype(np.int64)
     e_len = kmer_len + k
-    e_off = np.concatenate([[0], np.cumsum(e_len)])[:-1].astype(np.int64)
-    e_cov = np.zeros(E, np.float64)
-    np.add.at(e_cov, edge_of_arc, g.e_cov[ids])
+    e_cov = np.bincount(edge_of_arc, weights=g.e_cov[ids], minlength=E)
 
-    seq_pool = np.zeros(int(e_len.sum()), np.uint8)
-    # every member writes its seq[k:] at new_off + k + off
-    _ragged_copy(
-        seq_pool,
-        e_off[edge_of_arc] + k + off,
-        g.seq_pool,
-        g.e_off[ids] + k,
-        w,
-    )
-    # heads write their first k bases
-    _ragged_copy(
-        seq_pool,
-        e_off,
-        g.seq_pool,
-        g.e_off[ids[uheads]],
-        np.full(E, k, np.int64),
-    )
+    # Lazy sequence pool: single-member chains (the common case after a
+    # removal pass) keep their slice of the OLD pool untouched; only merged
+    # chains write concatenated bases, appended at the end.  Dead bases are
+    # garbage-collected when they outgrow the live ones — this turns the
+    # former full-pool rebuild (the profile hot spot at 1M edges) into work
+    # proportional to the merged chains only.
+    singleton = n_arcs == 1
+    multi = ~singleton
+    e_off = np.empty(E, np.int64)
+    e_off[singleton] = g.e_off[ids[uheads[singleton]]]
+    m_len = e_len[multi]
+    base = np.int64(g.seq_pool.shape[0])
+    e_off[multi] = base + np.concatenate([[0], np.cumsum(m_len)])[:-1].astype(np.int64)
+    if m_len.size:
+        append = np.zeros(int(m_len.sum()), np.uint8)
+        local_off = e_off - base  # valid on multi rows only
+        sel = multi[edge_of_arc]
+        # every member of a merged chain writes its seq[k:] at off + k + rank
+        _ragged_copy(
+            append,
+            local_off[edge_of_arc[sel]] + k + off[sel],
+            g.seq_pool,
+            g.e_off[ids[sel]] + k,
+            w[sel],
+        )
+        # merged-chain heads write their first k bases
+        mh = np.flatnonzero(multi)
+        _ragged_copy(
+            append,
+            local_off[mh],
+            g.seq_pool,
+            g.e_off[ids[uheads[mh]]],
+            np.full(len(mh), k, np.int64),
+        )
+        seq_pool = np.concatenate([g.seq_pool, append])
+    else:
+        seq_pool = g.seq_pool
+    live = int(e_len.sum())
+    if seq_pool.shape[0] > 2 * live:
+        packed = np.zeros(live, np.uint8)
+        packed_off = np.concatenate([[0], np.cumsum(e_len)])[:-1].astype(np.int64)
+        _ragged_copy(packed, packed_off, seq_pool, e_off, e_len)
+        seq_pool, e_off = packed, packed_off
 
     tail_arc = np.zeros(E, np.int64)
     is_tail = pos == (n_arcs[edge_of_arc] - 1)

@@ -83,14 +83,14 @@ class CondensedGraph:
 
     def out_degrees(self) -> np.ndarray:
         """(V,) number of alive out-edges per vertex."""
-        deg = np.zeros(self.num_vertices, np.int64)
-        np.add.at(deg, self.e_start[self.alive], 1)
-        return deg
+        return np.bincount(
+            self.e_start[self.alive], minlength=self.num_vertices
+        ).astype(np.int64)
 
     def in_degrees(self) -> np.ndarray:
-        deg = np.zeros(self.num_vertices, np.int64)
-        np.add.at(deg, self.e_end[self.alive], 1)
-        return deg
+        return np.bincount(
+            self.e_end[self.alive], minlength=self.num_vertices
+        ).astype(np.int64)
 
     # -- mutation -------------------------------------------------------
     def kill_edges(self, edge_ids: np.ndarray) -> int:

@@ -78,6 +78,30 @@ def _degrees(g: CondensedGraph):
     return outd, ind
 
 
+def _two_best_per_key(keys: np.ndarray, c: np.ndarray, V: int):
+    """Per-key (max, second-max) of ``c`` — one lexsort, no Python loop.
+
+    Segment-max formulation of the reference's per-vertex competitor scan
+    (`parallel_simplification_algorithms.hpp` runs it as parallel C++; here
+    it is a sorted-boundary pass)."""
+    best = np.zeros(V)
+    second = np.zeros(V)
+    if keys.size == 0:
+        return best, second
+    order = np.lexsort((c, keys))
+    ks = keys[order]
+    cs = c[order]
+    is_last = np.empty(ks.shape[0], bool)
+    is_last[:-1] = ks[:-1] != ks[1:]
+    is_last[-1] = True
+    last = np.flatnonzero(is_last)
+    best[ks[last]] = cs[last]
+    prev = last - 1
+    valid = (prev >= 0) & (ks[np.maximum(prev, 0)] == ks[last])
+    second[ks[last[valid]]] = cs[prev[valid]]
+    return best, second
+
+
 def _max_competitor_cov(g: CondensedGraph) -> np.ndarray:
     """For each alive edge: max coverage among non-loop edges sharing its
     start vertex (outgoing) or end vertex (incoming), excluding itself.
@@ -90,22 +114,9 @@ def _max_competitor_cov(g: CondensedGraph) -> np.ndarray:
     not_loop = g.e_start[ids] != g.e_end[ids]
     c = np.where(not_loop, cov[ids], 0.0)
 
-    def two_best(keys):
-        best = np.zeros(V)
-        second = np.zeros(V)
-        order = np.argsort(c, kind="stable")
-        for e, cv in zip(ids[order], c[order]):
-            vk = keys[e]
-            if cv >= best[vk]:
-                second[vk] = best[vk]
-                best[vk] = cv
-            elif cv > second[vk]:
-                second[vk] = cv
-        return best, second
-
     # max over competitors = best at the vertex unless self is the best
-    out_best, out_second = two_best(g.e_start)
-    in_best, in_second = two_best(g.e_end)
+    out_best, out_second = _two_best_per_key(g.e_start[ids], c, V)
+    in_best, in_second = _two_best_per_key(g.e_end[ids], c, V)
     res = np.zeros(g.alive.shape[0])
     cself = np.where(not_loop, cov[ids], -1.0)
     o = np.where(cself >= out_best[g.e_start[ids]], out_second[g.e_start[ids]], out_best[g.e_start[ids]])
@@ -156,62 +167,88 @@ def remove_bulges(g: CondensedGraph, cfg: SimplifyConfig, kmer_mapper=None) -> i
     max_len = int(cfg.max_bulge_length_coeff * k + cfg.max_additive_length_coeff)
     lens = g.edge_kmer_lengths()
     cov = g.coverage()
-    # group alive edges by (start, end)
+    # group alive non-loop edges by (start, end); process only the canonical
+    # member of each conjugate group pair — killing an arm also kills its
+    # conjugate in the mirror group, so one-sided processing is exact (and
+    # deterministic, unlike order-dependent sequential gluing).
     s, e = g.e_start[ids], g.e_end[ids]
-    grp = s * np.int64(g.num_vertices) + e
-    order = np.argsort(grp, kind="stable")
+    not_loop = s != e
+    ids, s, e = ids[not_loop], s[not_loop], e[not_loop]
+    if ids.size == 0:
+        return 0
+    V = np.int64(g.num_vertices)
+    grp = s * V + e
+    conj_grp = g.v_conj[e] * V + g.v_conj[s]
+    canon = grp <= conj_grp
+    ids, grp = ids[canon], grp[canon]
+    if ids.size == 0:
+        return 0
+    # one vectorized pass: inside each group order by (-cov, len, id);
+    # the first row is the survivor, the rest are candidate arms
+    order = np.lexsort((ids, lens[ids], -cov[ids], grp))
     oid = ids[order]
     og = grp[order]
-    removed = 0
-    i = 0
-    n = len(oid)
-    killed = set()
-    while i < n:
-        j = i
-        while j < n and og[j] == og[i]:
-            j += 1
-        if j - i >= 2:
-            members = [x for x in oid[i:j] if x not in killed and g.alive[x]]
-            members = [x for x in members if g.e_start[x] != g.e_end[x]]
-            members.sort(key=lambda x: (-cov[x], lens[x]))
-            for x in members[1:]:
-                keep = members[0]
-                if int(keep) == int(g.e_conj[x]):
-                    continue
-                delta = max(cfg.max_delta, cfg.max_relative_delta * lens[keep])
-                if (
-                    lens[x] <= max_len
-                    and abs(int(lens[x]) - int(lens[keep])) <= delta
-                    and cov[x] <= cfg.max_relative_coverage * cov[keep]
-                ):
-                    # project coverage onto the survivor, then remove;
-                    # record the glue so reads spelling the removed arm
-                    # still map (KmerMapper::RemapKmers semantics)
-                    g.e_cov[keep] += g.e_cov[x]
-                    g.e_cov[g.e_conj[keep]] += g.e_cov[x]
-                    if kmer_mapper is not None:
-                        kmer_mapper.remap_sequences(
-                            g.edge_codes(int(x)), g.edge_codes(int(keep))
-                        )
-                    removed += g.kill_edges(np.array([x]))
-                    killed.add(int(x))
-                    killed.add(int(g.e_conj[x]))
-        i = j
-    return removed
+    new_grp = np.empty(len(og), bool)
+    new_grp[0] = True
+    new_grp[1:] = og[1:] != og[:-1]
+    head_row = np.flatnonzero(new_grp)
+    keep = oid[head_row[np.cumsum(new_grp) - 1]]  # survivor per row
+    x = oid
+    delta = np.maximum(cfg.max_delta, cfg.max_relative_delta * lens[keep])
+    cond = (
+        (x != keep)
+        & (g.e_conj[x] != keep)  # never glue onto your own conjugate
+        & (lens[x] <= max_len)
+        & (np.abs(lens[x] - lens[keep]) <= delta)
+        & (cov[x] <= cfg.max_relative_coverage * cov[keep])
+    )
+    kill = x[cond]
+    if kill.size == 0:
+        return 0
+    keep_of = keep[cond]
+    # a self-conjugate group holds both x and conj(x): the sequential pass
+    # killed the pair once — dedupe to one representative per conjugate pair
+    pair_rep = np.minimum(kill, g.e_conj[kill])
+    _, first = np.unique(pair_rep, return_index=True)
+    kill, keep_of = kill[first], keep_of[first]
+    # project coverage onto the survivor, then remove; record the glue so
+    # reads spelling the removed arm still map (KmerMapper::RemapKmers)
+    arm_cov = g.e_cov[kill].copy()
+    np.add.at(g.e_cov, keep_of, arm_cov)
+    np.add.at(g.e_cov, g.e_conj[keep_of], arm_cov)
+    if kmer_mapper is not None:
+        for x_, kp in zip(kill, keep_of):
+            kmer_mapper.remap_sequences(g.edge_codes(int(x_)), g.edge_codes(int(kp)))
+    return g.kill_edges(kill)
+
+
+def _out_csr(g: CondensedGraph) -> tuple[np.ndarray, np.ndarray]:
+    """CSR out-adjacency over alive edges: (offsets (V+1,), edge ids)."""
+    ids = g.alive_edge_ids()
+    order = np.argsort(g.e_start[ids], kind="stable")
+    eo = ids[order]
+    off = np.searchsorted(g.e_start[eo], np.arange(g.num_vertices + 1))
+    return off, eo
 
 
 def _bounded_shortest_path(
-    g: CondensedGraph, v_from: int, v_to: int, skip_edge: int, max_len: int
+    g: CondensedGraph,
+    csr: tuple[np.ndarray, np.ndarray],
+    lens: np.ndarray,
+    v_from: int,
+    v_to: int,
+    skip_edge: int,
+    max_len: int,
 ) -> list[int] | None:
     """Dijkstra bounded by path length (k-mer units), excluding skip_edge and
     its conjugate.  Returns the edge list of the shortest path or None.
 
-    Mirror of the bounded Dijkstra the bulge remover uses to find alternative
-    paths (`dijkstra/dijkstra_algorithm.hpp` bounded variants)."""
+    Pure-Python fallback mirror of native/bulge.cpp (the bounded Dijkstra of
+    `dijkstra/dijkstra_algorithm.hpp`)."""
     import heapq
 
+    off, eo = csr
     skip = {skip_edge, int(g.e_conj[skip_edge])}
-    lens = g.edge_kmer_lengths()
     dist: dict[int, int] = {v_from: 0}
     back: dict[int, tuple[int, int]] = {}
     heap = [(0, v_from)]
@@ -225,9 +262,9 @@ def _bounded_shortest_path(
             return path[::-1]
         if d > dist.get(v, np.inf) or d > max_len:
             continue
-        for e in g.out_edges_of(v):
+        for e in eo[off[v] : off[v + 1]]:
             e = int(e)
-            if e in skip:
+            if e in skip or not g.alive[e]:
                 continue
             u = int(g.e_end[e])
             nd = d + int(lens[e])
@@ -242,28 +279,53 @@ def remove_bulges_dijkstra(g: CondensedGraph, cfg: SimplifyConfig) -> int:
     """Path-alternative bulge removal (BulgeRemover with Dijkstra search,
     `bulge_remover.hpp:346`): a short low-coverage edge whose endpoints are
     joined by an alternative *path* of similar length is removed and its
-    coverage projected onto the path edges."""
+    coverage projected onto the path edges.
+
+    The sequential candidate loop runs in native C++ (native/bulge.cpp); a
+    pure-Python CSR fallback covers builds without the native library."""
     k = g.k
     max_len = int(cfg.max_bulge_length_coeff * k + cfg.max_additive_length_coeff)
     lens = g.edge_kmer_lengths()
-    removed = 0
     outd, ind = _degrees(g)
-    cand = [
-        int(e)
-        for e in g.alive_edge_ids()
-        if lens[e] <= max_len
-        and g.e_start[e] != g.e_end[e]
-        and outd[g.e_start[e]] > 1
-        and ind[g.e_end[e]] > 1
-    ]
+    ids = g.alive_edge_ids()
+    s, e = g.e_start[ids], g.e_end[ids]
+    cand = ids[(lens[ids] <= max_len) & (s != e) & (outd[s] > 1) & (ind[e] > 1)]
+    if cand.size == 0:
+        return 0
     cov = g.coverage()
     # lowest-coverage candidates first (the reference's buffered ordering)
-    for e in sorted(cand, key=lambda x: cov[x]):
+    cand = cand[np.lexsort((cand, cov[cand]))]
+
+    from .. import native as _native
+
+    if g.alive.dtype == bool and g.alive.flags.c_contiguous:
+        n = _native.bulge_pass_native(
+            g.e_start,
+            g.e_end,
+            g.e_conj,
+            lens,
+            cov,
+            g.e_cov,
+            g.alive.view(np.uint8),
+            cand,
+            g.num_vertices,
+            max_len,
+            cfg.max_delta,
+            cfg.max_relative_delta,
+            cfg.max_relative_coverage,
+        )
+        if n is not None:
+            return n
+
+    removed = 0
+    csr = _out_csr(g)
+    for e in cand:
+        e = int(e)
         if not g.alive[e]:
             continue
         delta = int(max(cfg.max_delta, cfg.max_relative_delta * lens[e]))
         path = _bounded_shortest_path(
-            g, int(g.e_start[e]), int(g.e_end[e]), e, int(lens[e]) + delta
+            g, csr, lens, int(g.e_start[e]), int(g.e_end[e]), e, int(lens[e]) + delta
         )
         if path is None:
             continue
@@ -297,10 +359,8 @@ def disconnect_relative_coverage(
 
     # competitor maxima per endpoint separately
     V = g.num_vertices
-    out_sum = np.zeros(V)
-    in_sum = np.zeros(V)
-    np.add.at(out_sum, g.e_start[ids], cov[ids])
-    np.add.at(in_sum, g.e_end[ids], cov[ids])
+    out_sum = np.bincount(g.e_start[ids], weights=cov[ids], minlength=V)
+    in_sum = np.bincount(g.e_end[ids], weights=cov[ids], minlength=V)
     s, e = g.e_start[ids], g.e_end[ids]
     # strongest alternative flow around each endpoint of the edge
     start_alt = np.maximum(out_sum[s] - cov[ids], in_sum[s])

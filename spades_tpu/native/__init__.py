@@ -41,8 +41,12 @@ def lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
-        src = os.path.join(_DIR, "fastx.cpp")
+    src = os.path.join(_DIR, "fastx.cpp")
+    srcs = [f for f in os.listdir(_DIR) if f.endswith(".cpp")]
+    stale = not os.path.exists(_SO) or any(
+        os.path.getmtime(os.path.join(_DIR, f)) > os.path.getmtime(_SO) for f in srcs
+    )
+    if stale:
         if not os.path.exists(src):
             return None
         try:
@@ -51,7 +55,8 @@ def lib():
             )
         except Exception as e:  # noqa: BLE001 — any build failure => fallback
             log.debug("native build failed: %s", e)
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         l = ctypes.CDLL(_SO)
         l.stbr_read_fastx.restype = ctypes.POINTER(_StbrReads)
@@ -66,6 +71,24 @@ def lib():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        l.stbr_bulge_pass.restype = ctypes.c_int64
+        l.stbr_bulge_pass.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
         ]
         _lib = l
     except (OSError, AttributeError) as e:
@@ -104,6 +127,62 @@ def merge_runs_native(words: np.ndarray, counts: np.ndarray, run_off: np.ndarray
     if n < 0:
         return None
     return out_w[:n].copy(), out_c[:n].copy()
+
+
+def bulge_pass_native(
+    e_start: np.ndarray,
+    e_end: np.ndarray,
+    e_conj: np.ndarray,
+    lens: np.ndarray,
+    avg_cov: np.ndarray,
+    e_cov: np.ndarray,
+    alive: np.ndarray,
+    cand: np.ndarray,
+    n_vertices: int,
+    max_len: int,
+    max_delta: float,
+    max_rel_delta: float,
+    max_rel_cov: float,
+):
+    """Sequential bounded-Dijkstra bulge removal (native).
+
+    Mutates ``e_cov`` and ``alive`` in place; returns the number of oriented
+    edges removed, or None when the native library is unavailable.  Mirror of
+    BulgeRemover + bounded Dijkstra
+    (`/root/reference/src/common/modules/simplification/bulge_remover.hpp:346`).
+    """
+    l = lib()
+    if l is None or not hasattr(l, "stbr_bulge_pass"):
+        return None
+    e_start = np.ascontiguousarray(e_start, np.int64)
+    e_end = np.ascontiguousarray(e_end, np.int64)
+    e_conj = np.ascontiguousarray(e_conj, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    avg_cov = np.ascontiguousarray(avg_cov, np.float64)
+    cand = np.ascontiguousarray(cand, np.int64)
+    assert e_cov.dtype == np.float64 and e_cov.flags.c_contiguous
+    assert alive.dtype == np.uint8 and alive.flags.c_contiguous
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pf = ctypes.POINTER(ctypes.c_double)
+    return int(
+        l.stbr_bulge_pass(
+            np.int64(len(e_start)),
+            np.int64(n_vertices),
+            e_start.ctypes.data_as(p64),
+            e_end.ctypes.data_as(p64),
+            e_conj.ctypes.data_as(p64),
+            lens.ctypes.data_as(p64),
+            avg_cov.ctypes.data_as(pf),
+            e_cov.ctypes.data_as(pf),
+            alive.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cand.ctypes.data_as(p64),
+            np.int64(len(cand)),
+            np.int64(max_len),
+            np.float64(max_delta),
+            np.float64(max_rel_delta),
+            np.float64(max_rel_cov),
+        )
+    )
 
 
 def read_fastx_native(path: str):
