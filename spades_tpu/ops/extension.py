@@ -89,6 +89,27 @@ class ExtensionIndex:
     def indeg(self) -> np.ndarray:
         return POPCOUNT4[self.in_mask]
 
+    # -- mask-level deletion API (DeBruijnExtensionIndex::DeleteOutgoing /
+    # DeleteIncoming / IsolateVertex, kmer_extension_index.hpp:62) ----------
+
+    def isolate(self, rows: np.ndarray) -> None:
+        """Clear both masks of the given canonical rows (IsolateVertex)."""
+        from .early_clip import isolate_rows
+
+        isolate_rows(self, rows)
+
+    def delete_outgoing(self, idx: np.ndarray, o: np.ndarray, c: np.ndarray) -> None:
+        """Batched DeleteOutgoing in the directed (row, orient) view."""
+        from .early_clip import delete_out_dir
+
+        delete_out_dir(self, idx, o, c)
+
+    def delete_incoming(self, idx: np.ndarray, o: np.ndarray, c: np.ndarray) -> None:
+        """Batched DeleteIncoming in the directed (row, orient) view."""
+        from .early_clip import delete_in_dir
+
+        delete_in_dir(self, idx, o, c)
+
 
 POPCOUNT4 = np.array([bin(i).count("1") for i in range(16)], np.uint8)
 

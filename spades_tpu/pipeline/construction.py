@@ -64,11 +64,23 @@ def construct_graph(
     k: int,
     min_count: int = 1,
     batch_size: int = 65536,
+    early_tip_clip: bool = False,
+    early_tc_length_bound: int | None = None,
+    early_at_clip: bool = False,
+    read_length: int | None = None,
 ) -> ConstructionResult:
     """Build the condensed de Bruijn graph at odd k from a sequence iterable.
 
     min_count: drop (k+1)-mers with multiplicity < min_count before graph
     build (the role of the reference's CQF coverage filter for meta mode).
+
+    early_tip_clip / early_at_clip: run the pre-condensation clippers on the
+    extension index (construction.cpp:446-450 EarlyATClipper for RNA
+    pipelines, EarlyTipClipper when the gap closer is off; the tip length
+    bound defaults to read_length - k, construction.cpp:297-300).  These run
+    after the sharded/single-chip count paths converge, so the distributed
+    build clips on the OR-merged masks — the MPI_BAND allreduce point of
+    construction_mpi.cpp:456.
     """
     if k % 2 == 0:
         raise ValueError("k must be odd")
@@ -77,5 +89,17 @@ def construct_graph(
         keep = p1.counts >= min_count
         p1 = _count.KmerCounts(k=p1.k, words=p1.words[keep], counts=p1.counts[keep])
     index = _ext.build_extension_index(p1)
+    if early_at_clip:
+        from ..ops import early_clip as _early
+
+        _early.remove_at_edges(index)
+        _early.remove_at_tips(index)
+    if early_tip_clip:
+        from ..ops import early_clip as _early
+
+        bound = early_tc_length_bound
+        if bound is None:
+            bound = (read_length - k) if read_length and read_length > k else k
+        _early.clip_tips_early(index, bound)
     graph = _condense.condense(index, p1)
     return ConstructionResult(graph=graph, p1_counts=p1, index=index)

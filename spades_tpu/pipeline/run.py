@@ -118,8 +118,16 @@ def run_assembly(
         elif assembly_graph:
             continue  # GFA input: no multi-K laddering, main iteration only
         else:
+            # early tip clipping runs only when the gap closer is off, i.e.
+            # on non-final iterations with k < 55 (construction.cpp:448-449,
+            # spades_iteration_stage.py:70 gap_closer_enable = last or k>=55);
+            # the A/T clipper runs for RNA pipelines (construction.cpp:446)
             mgr.add(
-                Construction(min_count=min_count),
+                Construction(
+                    min_count=min_count,
+                    early_tip_clip=not (is_last or k >= 55),
+                    early_at_clip=(mode in ("rna", "rnaviral")),
+                ),
                 GenomicInfoFiller(),
                 # AddSimplificationStages order (pipeline.cpp:154-176):
                 # RawSimplification -> early gapcloser -> Simplification ->

@@ -28,13 +28,27 @@ class Construction(AssemblyStage):
     name = "Construction"
     id = "construction"
 
-    def __init__(self, min_count: int = 1):
+    def __init__(
+        self,
+        min_count: int = 1,
+        early_tip_clip: bool = False,
+        early_at_clip: bool = False,
+    ):
         self.min_count = min_count
+        self.early_tip_clip = early_tip_clip
+        self.early_at_clip = early_at_clip
 
     def run(self, ctx: AssemblyContext) -> None:
         seqs = [r for r in ctx.reads if len(r) > ctx.k]
         seqs += [s for s in ctx.extra_sequences if len(s) > ctx.k]
-        res = construct_graph(seqs, ctx.k, min_count=self.min_count)
+        res = construct_graph(
+            seqs,
+            ctx.k,
+            min_count=self.min_count,
+            early_tip_clip=self.early_tip_clip,
+            early_at_clip=self.early_at_clip,
+            read_length=ctx.read_length,
+        )
         ctx.graph = res.graph
         ctx.p1_counts = res.p1_counts
         log.info(
