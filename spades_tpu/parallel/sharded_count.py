@@ -83,35 +83,63 @@ def _route_local(canon_flat: jnp.ndarray, valid_flat: jnp.ndarray, n_dev: int, c
     return out, overflow
 
 
-def _count_shard_body(codes, lengths, n_mask, k: int, cap: int, axis: str):
-    """Per-device body (inside shard_map): extract -> route -> exchange -> count."""
+def _count_shard_body(packed_codes, packed_nmask, lengths, L: int, k: int,
+                      cap: int, axis: str):
+    """Per-device body (inside shard_map): unpack -> extract -> route ->
+    exchange -> count -> FULL on-device dedup.
+
+    The shard receives the 2-bit packed wire format (7x less link traffic
+    than raw codes+mask — the discipline of the single-chip path,
+    ops/count.py count_batch_packed_unique) and returns unique rows compacted
+    to the front plus their run-length counts, so the host pulls O(unique)
+    bytes per shard instead of the full routed window tensor — the analog of
+    hpcSPAdes ranks shipping merged bucket files, not raw k-mer streams
+    (construction_mpi.cpp:222-380)."""
+    from ..ops.count import unpack_batch_device
+
     n_dev = jax.lax.axis_size(axis)
+    codes, n_mask = unpack_batch_device(packed_codes, packed_nmask, L)
     canon, valid = K.canonical_windows(codes, lengths, n_mask, k)
     W = canon.shape[-1]
     routed, overflow = _route_local(canon.reshape(-1, W), valid.reshape(-1), n_dev, cap)
     # ICI exchange: slice j of every device lands on device j
     exchanged = jax.lax.all_to_all(routed, axis, split_axis=0, concat_axis=0, tiled=True)
     mine = exchanged.reshape(-1, W)
-    (swords,) = sort_words(mine)
-    starts = run_starts(swords)
-    n_valid = jnp.sum(jnp.any(swords != K.SENTINEL32, axis=-1)).reshape(1)
-    return swords, starts, n_valid, jax.lax.psum(overflow, axis)
+    n = mine.shape[0]
+    swords = jax.lax.sort(tuple(mine[:, w] for w in range(W)), num_keys=W)
+    stacked = jnp.stack(swords, axis=-1)
+    boundary = run_starts(stacked)
+    starts = boundary & jnp.any(stacked != K.SENTINEL32, axis=-1)
+    # run length per start row via reversed cummin (log-depth, no scatter)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bpos = jnp.where(boundary, pos, jnp.int32(n))
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))
+    next_boundary = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
+    row_counts = jnp.where(starts, next_boundary - pos, 0)
+    # stable 1-key sort compacts unique rows to the front in lex order
+    flag = jnp.where(starts, jnp.uint8(0), jnp.uint8(1))
+    out = jax.lax.sort((flag,) + swords + (row_counts,), num_keys=1, is_stable=True)
+    unique_words = jnp.stack(out[1 : 1 + W], axis=-1)
+    unique_counts = out[1 + W]
+    n_unique = jnp.sum(starts.astype(jnp.int32)).reshape(1)
+    return unique_words, unique_counts, n_unique, jax.lax.psum(overflow, axis)
 
 
-def make_sharded_counter(mesh: Mesh, k: int, cap: int, axis: str = "d"):
+def make_sharded_counter(mesh: Mesh, k: int, L: int, cap: int, axis: str = "d"):
     """Build the jitted multi-chip counting step for a fixed shard shape.
 
-    Returns fn(codes, lengths, n_mask) -> (sorted_kmers, run_starts, n_valid,
-    overflow) with per-device outputs sharded along the first axis.
+    Returns fn(packed_codes, packed_nmask, lengths) -> (unique_kmers, counts,
+    n_unique, overflow) with per-device outputs sharded along the first axis
+    and each device's unique rows compacted to the front of its shard.
     """
     spec_reads = P(axis, None)
     spec_vec = P(axis)
 
-    body = functools.partial(_count_shard_body, k=k, cap=cap, axis=axis)
+    body = functools.partial(_count_shard_body, L=L, k=k, cap=cap, axis=axis)
     shard_fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_reads, spec_vec, spec_reads),
+        in_specs=(spec_reads, spec_reads, spec_vec),
         out_specs=(P(axis, None), P(axis), P(axis), P()),
     )
     return jax.jit(shard_fn)
@@ -120,7 +148,11 @@ def make_sharded_counter(mesh: Mesh, k: int, cap: int, axis: str = "d"):
 def count_kmers_sharded(batch, k: int, mesh: Mesh | None = None, safety: float = 2.0):
     """Host wrapper: count canonical k-mers of a ReadBatch across the mesh.
 
-    Returns (unique_words (U, W) np.uint32 sorted, counts (U,) np.int64).
+    Link discipline (both directions): ships the 2-bit packed wire format up,
+    and pulls ONLY the deduplicated prefix of each device shard back (shards
+    own disjoint hash ranges, so per-shard uniques are globally unique).
+
+    Returns KmerCounts (sorted unique canonical k-mers + multiplicities).
     """
     from ..ops.count import KmerCounts, merge_counts
 
@@ -129,37 +161,34 @@ def count_kmers_sharded(batch, k: int, mesh: Mesh | None = None, safety: float =
     n_dev = mesh.devices.size
     R, L = batch.codes.shape
     P_win = L - k + 1
+    packed_codes, packed_nmask, lengths, _ = batch.packed()
     # pad reads to a multiple of n_dev
     pad = (-R) % n_dev
-    codes = np.pad(batch.codes, ((0, pad), (0, 0)))
-    lengths = np.pad(batch.lengths, (0, pad))
-    n_mask = np.pad(batch.n_mask, ((0, pad), (0, 0)))
-    per_dev = codes.shape[0] // n_dev * P_win
+    packed_codes = np.pad(packed_codes, ((0, pad), (0, 0)))
+    packed_nmask = np.pad(packed_nmask, ((0, pad), (0, 0)))
+    lengths = np.pad(lengths, (0, pad))
+    per_dev = packed_codes.shape[0] // n_dev * P_win
     cap = int(np.ceil(per_dev * safety / n_dev)) + 16
-    fn = make_sharded_counter(mesh, k, cap, axis)
-    swords, starts, n_valid, overflow = fn(
-        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(n_mask)
+    fn = make_sharded_counter(mesh, k, L, cap, axis)
+    uwords, ucounts, n_unique, overflow = fn(
+        jnp.asarray(packed_codes), jnp.asarray(packed_nmask), jnp.asarray(lengths)
     )
     if int(overflow) > 0:
         raise RuntimeError(
             f"shard routing overflow ({int(overflow)} k-mers dropped); "
             f"increase safety factor"
         )
-    # per-device compaction (device shards hold disjoint sorted k-mer ranges
-    # in *hash* space, so host-merge the per-device runs)
-    swords = np.asarray(swords)
-    starts = np.asarray(starts)
-    shard_rows = swords.shape[0] // n_dev
+    # pull only each shard's unique prefix (device-side slice -> small pull)
+    n_unique = np.asarray(n_unique)
+    shard_rows = uwords.shape[0] // n_dev
     runs = []
     for d in range(n_dev):
-        sw = swords[d * shard_rows : (d + 1) * shard_rows]
-        st = starts[d * shard_rows : (d + 1) * shard_rows]
-        nv = int(np.sum(np.any(sw != np.uint32(0xFFFFFFFF), axis=-1)))
-        if nv == 0:
+        nu = int(n_unique[d])
+        if nu == 0:
             continue
-        sidx = np.flatnonzero(st[:nv])
-        counts = np.diff(np.append(sidx, nv)).astype(np.int64)
-        runs.append(KmerCounts(k=k, words=sw[sidx], counts=counts))
+        sw = np.asarray(uwords[d * shard_rows : d * shard_rows + nu])
+        ct = np.asarray(ucounts[d * shard_rows : d * shard_rows + nu]).astype(np.int64)
+        runs.append(KmerCounts(k=k, words=sw, counts=ct))
     if not runs:
         W = K.kmer_words(k)
         return KmerCounts(k=k, words=np.zeros((0, W), np.uint32), counts=np.zeros(0, np.int64))
