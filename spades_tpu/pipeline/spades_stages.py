@@ -453,7 +453,12 @@ class ContigOutput(AssemblyStage):
         if ctx.mode == "rna":
             # rnaSPAdes names its primary output transcripts.fasta
             write_contigs(os.path.join(d, "transcripts.fasta"), ctx.contigs)
-        write_gfa(os.path.join(d, "assembly_graph_with_scaffolds.gfa"), ctx.graph)
+        write_gfa(
+            os.path.join(d, "assembly_graph_with_scaffolds.gfa"),
+            ctx.graph,
+            scaffold_paths=ctx.scaffold_paths,
+            version="1.2",
+        )
         write_fastg(os.path.join(d, "assembly_graph.fastg"), ctx.graph)
         if ctx.contig_paths:
             write_paths(os.path.join(d, "contigs.paths"), ctx.contig_paths, ctx.graph)

@@ -121,3 +121,62 @@ class TestAssemblyStats:
         from spades_tpu.pipeline.spades_stages import _assembly_stats
 
         assert _assembly_stats([]) == "0 contigs"
+
+
+class TestGfaGolden:
+    """Golden-byte GFA v1.1/v1.2 fixtures (gfa_writer.cpp + GFAPathWriter,
+    bidirectional_path_output.cpp:79-166) — first step toward the
+    byte-identity regression contract of the reference's etalon diffing
+    (detect_diffs.sh)."""
+
+    def _graph_and_scaffold(self):
+        from spades_tpu.paired.path_extend import Path
+
+        rng = np.random.default_rng(7)
+        a = dna.decode(rng.integers(0, 4, 120).astype(np.uint8))
+        a2 = a[:60] + ("A" if a[60] != "A" else "C") + a[61:]
+        g = construct_graph([a, a2], K).graph
+        p = Path([2, int(g.e_conj[0]), 1], [0, 0, 37])
+        return g, [("NODE_1_length_200_cov_1.000000", p)]
+
+    def test_v12_bytes(self, tmp_path):
+        from spades_tpu.io.gfa import write_gfa
+
+        g, sp = self._graph_and_scaffold()
+        out = str(tmp_path / "g.gfa")
+        write_gfa(out, g, scaffold_paths=sp, version="1.2")
+        golden = open("tests/golden/tiny_v12.gfa", "rb").read()
+        assert open(out, "rb").read() == golden
+
+    def test_v11_bytes(self, tmp_path):
+        from spades_tpu.io.gfa import write_gfa
+
+        g, sp = self._graph_and_scaffold()
+        out = str(tmp_path / "g.gfa")
+        write_gfa(out, g, scaffold_paths=sp, version="1.1")
+        golden = open("tests/golden/tiny_v11.gfa", "rb").read()
+        assert open(out, "rb").read() == golden
+
+    def test_jump_links_roundtrip(self, tmp_path):
+        from spades_tpu.io.gfa import read_gfa, write_gfa
+
+        g, sp = self._graph_and_scaffold()
+        out = str(tmp_path / "g.gfa")
+        write_gfa(out, g, scaffold_paths=sp, version="1.2")
+        parsed = read_gfa(out)
+        assert parsed.jumps == [("0", "-", "1", "+")]
+        assert parsed.paths[0][1] == "2+,0-;1+"
+        # DP wins over KC for coverage
+        assert parsed.seg_cov["0"] == 2.0
+
+    def test_adjacent_scaffold_edges_not_jumped(self, tmp_path):
+        from spades_tpu.io.gfa import read_gfa, write_gfa
+        from spades_tpu.paired.path_extend import Path
+
+        g, _ = self._graph_and_scaffold()
+        p = Path([2, int(g.e_conj[0])], [0, 0])  # contiguous walk, no gap
+        out = str(tmp_path / "g.gfa")
+        write_gfa(out, g, scaffold_paths=[("s", p)], version="1.2")
+        parsed = read_gfa(out)
+        assert parsed.jumps == []
+        assert parsed.paths[0][1] == "2+,0-"
