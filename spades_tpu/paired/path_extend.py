@@ -30,12 +30,20 @@ log = logging.getLogger("spades_tpu.path_extend")
 class PEConfig:
     insert_size: float = 250.0
     is_var: float = 50.0
+    read_length: int = 100
     min_weight: float = 1.0
-    rel_weight: float = 0.6     # second-best filter (single_threshold analog)
+    rel_weight: float = 0.6     # priority filter (prior_coeff analog: keep >= rel*best)
     max_edge_repeat: int = 8
     scaffold_min_weight: float = 2.0
     min_gap: int = 1
     max_gap: int = 2000
+    # PathCoverWeightCounter knobs (weight_counter.hpp:218-280)
+    normalize_weight: bool = True
+    single_threshold: float = 0.1   # per-path-edge support cut (pe_config single_threshold)
+    weight_threshold: float = 0.35  # final normalized score cut (extension_options)
+    # polishing / loops
+    max_polisher_gap: int = 700     # pe_config max_polisher_gap (launcher.cpp:485)
+    loop_unroll_nt_limit: int = 1000  # full unroll only for short loops (path_extender.hpp:126)
 
 
 @dataclass

@@ -29,6 +29,8 @@ from .spades_stages import (
     GenomicInfoFiller,
     HybridAligning,
     MismatchCorrection,
+    DistanceEstimation,
+    PairInfoCount,
     RepeatResolution,
     Simplification,
 )
@@ -163,11 +165,17 @@ def run_assembly(
         if is_last and mode == "meta" and paired_libs:
             # two-step repeat resolution (pipeline.cpp:139-151): preliminary
             # RR feeds its contigs back as trusted paths for the main pass
-            mgr.add(RepeatResolution(preliminary=True), SecondPhaseSetup())
+            mgr.add(
+                PairInfoCount(),
+                DistanceEstimation(),
+                RepeatResolution(preliminary=True),
+                SecondPhaseSetup(),
+            )
         if is_last:
             # repeat resolution runs on the main (last) iteration only
-            # (pipeline.cpp: RepeatResolution gated on main_iteration)
-            mgr.add(RepeatResolution())
+            # (pipeline.cpp: RepeatResolution gated on main_iteration,
+            # preceded by PairInfoCount + DistanceEstimation)
+            mgr.add(PairInfoCount(), DistanceEstimation(), RepeatResolution())
         if is_last and (hmm_profiles or mode in ("bio", "corona")):
             # domain extraction / HMM-guided analysis (bgc + corona modes)
             mgr.add(DomainAnalysis())

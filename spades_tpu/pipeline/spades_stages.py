@@ -351,9 +351,12 @@ class SecondPhaseSetup(AssemblyStage):
             for path, c in ctx.long_read_storage.paths.items():
                 storage.paths[path] = storage.paths.get(path, 0) + c
         ctx.long_read_storage = storage
-        # ClearRRIndicesAndPaths: drop preliminary RR products
+        # ClearRRIndicesAndPaths: drop preliminary RR products + indices
         ctx.contigs, ctx.scaffolds = [], []
         ctx.contig_paths, ctx.scaffold_paths = [], []
+        ctx.raw_pair_libs = []
+        ctx.paired_index = ctx.scaffold_index = ctx.mp_index = None
+        ctx.is_stats = None
         log.info(
             "second phase ready: %d trusted contig paths", len(storage.paths)
         )
@@ -469,6 +472,79 @@ class ContigOutput(AssemblyStage):
             log.info("assembly stats: %s", _assembly_stats(ctx.contigs))
 
 
+class PairInfoCount(AssemblyStage):
+    """Map paired libraries to the graph, estimate insert sizes, fill the raw
+    (unclustered) paired indices (pair_info_count.cpp:1-60)."""
+
+    name = "Paired Information Counting"
+    id = "pair_info_count"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        from ..alignment.mapper import build_edge_index, map_read_batch
+        from ..io.libraries import iter_fr_libs
+        from ..paired.paired_info import build_paired_index, estimate_insert_size
+
+        ctx.raw_pair_libs = []
+        if not ctx.paired or ctx.graph is None or ctx.graph.num_edges == 0:
+            log.info("no paired libraries — skipping pair info count")
+            return
+        idx = build_edge_index(ctx.graph)
+        for r1s, r2s, lib_type in iter_fr_libs(ctx.paired):
+            m1 = map_read_batch(idx, ctx.graph, r1s, kmer_mapper=ctx.kmer_mapper)
+            m2 = map_read_batch(idx, ctx.graph, r2s, kmer_mapper=ctx.kmer_mapper)
+            st = estimate_insert_size(
+                ctx.graph, m1, m2, [len(r) for r in r1s], [len(r) for r in r2s]
+            )
+            log.info(
+                "%s library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
+                lib_type, sum(m is not None for m in m1), st.median, st.mad, st.count,
+            )
+            if st.count == 0 or st.median <= 0:
+                continue
+            raw = build_paired_index(
+                ctx.graph, m1, m2, [len(r) for r in r2s], st.median
+            )
+            ctx.raw_pair_libs.append((lib_type, raw, st))
+
+
+class DistanceEstimation(AssemblyStage):
+    """Cluster the raw paired indices into point-estimate distance indices
+    (distance_estimation.cpp:33; per-library estimator choice of
+    distance_estimation_utils.cpp: mate-pairs -> smoothing, scaffolding-only)."""
+
+    name = "Distance Estimation"
+    id = "distance_estimation"
+
+    def run(self, ctx: AssemblyContext) -> None:
+        from ..paired.distance_estimation import estimate_distances
+        from ..paired.paired_info import merge_paired_indices
+
+        ctx.paired_index = ctx.scaffold_index = ctx.mp_index = None
+        ctx.is_stats = None
+        if not ctx.raw_pair_libs:
+            return
+        pe_indices, mp_indices = [], []
+        for lib_type, raw, st in ctx.raw_pair_libs:
+            clustered = estimate_distances(raw, lib_type)
+            if lib_type == "mate-pairs":
+                mp_indices.append(clustered)
+            else:
+                pe_indices.append(clustered)
+                ctx.is_stats = st
+        if ctx.is_stats is None:
+            log.info("no usable insert-size estimate")
+            return
+        ctx.insert_size = ctx.is_stats.median
+        ctx.paired_index = merge_paired_indices(pe_indices)
+        ctx.scaffold_index = merge_paired_indices(pe_indices + mp_indices)
+        if mp_indices:
+            ctx.mp_index = merge_paired_indices(mp_indices)
+        log.info(
+            "clustered paired index: %d entries (%d scaffolding)",
+            len(ctx.paired_index.e1), len(ctx.scaffold_index.e1),
+        )
+
+
 class RepeatResolution(AssemblyStage):
     """exSPAnder path extension + scaffolding (repeat_resolving.cpp:17-80).
 
@@ -488,12 +564,7 @@ class RepeatResolution(AssemblyStage):
         self.preliminary = preliminary
 
     def run(self, ctx: AssemblyContext) -> None:
-        from ..alignment.mapper import build_edge_index, map_read_batch
         from ..io.contigs import Contig
-        from ..paired.paired_info import (
-            build_paired_index,
-            estimate_insert_size,
-        )
         from ..paired.path_extend import (
             PEConfig,
             path_coverage,
@@ -502,45 +573,21 @@ class RepeatResolution(AssemblyStage):
             scaffold_paths,
         )
 
-        if not ctx.paired or ctx.graph is None or ctx.graph.num_edges == 0:
-            log.info("no paired libraries — skipping repeat resolution")
+        if ctx.graph is None or ctx.graph.num_edges == 0:
+            log.info("empty graph — skipping repeat resolution")
             return
-        from ..io.libraries import iter_fr_libs
-        from ..paired.distance_estimation import estimate_distances
-        from ..paired.paired_info import merge_paired_indices
-
-        idx = build_edge_index(ctx.graph)
-        pe_indices, mp_indices = [], []
-        is_stats = None
-        for r1s, r2s, lib_type in iter_fr_libs(ctx.paired):
-            m1 = map_read_batch(idx, ctx.graph, r1s, kmer_mapper=ctx.kmer_mapper)
-            m2 = map_read_batch(idx, ctx.graph, r2s, kmer_mapper=ctx.kmer_mapper)
-            st = estimate_insert_size(
-                ctx.graph, m1, m2, [len(r) for r in r1s], [len(r) for r in r2s]
-            )
-            log.info(
-                "%s library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
-                lib_type, sum(m is not None for m in m1), st.median, st.mad, st.count,
-            )
-            if st.count == 0 or st.median <= 0:
-                continue
-            raw = build_paired_index(
-                ctx.graph, m1, m2, [len(r) for r in r2s], st.median
-            )
-            # per-library estimator choice (distance_estimation_utils.cpp):
-            # mate-pairs -> smoothing estimator, scaffolding-only
-            clustered = estimate_distances(raw, lib_type)
-            if lib_type == "mate-pairs":
-                mp_indices.append(clustered)
-            else:
-                pe_indices.append(clustered)
-                is_stats = st
-        if is_stats is None:
-            log.info("no usable insert-size estimate — skipping RR")
+        if ctx.paired_index is None:
+            # stage list without explicit PairInfoCount/DistanceEstimation
+            # (direct library use) — run them in place
+            PairInfoCount().run(ctx)
+            DistanceEstimation().run(ctx)
+        if ctx.paired_index is None or ctx.is_stats is None:
+            log.info("no usable paired info — skipping repeat resolution")
             return
-        ctx.insert_size = is_stats.median
-        pi = merge_paired_indices(pe_indices)
-        scaffold_pi = merge_paired_indices(pe_indices + mp_indices)
+        is_stats = ctx.is_stats
+        pi = ctx.paired_index
+        scaffold_pi = ctx.scaffold_index
+        mp_indices = [ctx.mp_index] if ctx.mp_index is not None else []
         cfg = PEConfig(
             insert_size=is_stats.median, is_var=max(is_stats.mad, 10.0)
         )
@@ -566,7 +613,7 @@ class RepeatResolution(AssemblyStage):
 
         ctx.contigs, ctx.contig_paths = to_contigs(paths)
         scaffolds = scaffold_paths(ctx.graph, scaffold_pi, paths, cfg)
-        if mp_indices:
+        if ctx.mp_index is not None:
             # mate-pair scaffold graph pass (scaffolder2015): join remaining
             # paths along unambiguous long-edge links
             from ..paired.path_extend import (
@@ -574,8 +621,7 @@ class RepeatResolution(AssemblyStage):
                 scaffold_with_graph_2015,
             )
 
-            mp_pi = merge_paired_indices(mp_indices)
-            sg = build_scaffold_graph_2015(ctx.graph, mp_pi)
+            sg = build_scaffold_graph_2015(ctx.graph, ctx.mp_index)
             scaffolds = scaffold_with_graph_2015(ctx.graph, sg, scaffolds, cfg)
             log.info(
                 "mate-pair scaffold graph: %d vertices, %d links",

@@ -53,6 +53,13 @@ class AssemblyContext:
     insert_size: float = 0.0
     long_read_storage: Any = None                       # LongReadStorage
     kmer_mapper: Any = None                             # alignment.kmer_mapper.KmerMapper
+    # paired-info pack (UnclusteredPairedInfoIndices / clustered indices of
+    # the reference GraphPack, graph_pack.cpp:30-53)
+    raw_pair_libs: list = field(default_factory=list)   # (lib_type, PairedIndex, InsertSizeStats)
+    paired_index: Any = None                            # clustered PE index (merged)
+    scaffold_index: Any = None                          # clustered PE+MP index
+    mp_index: Any = None                                # clustered mate-pair index
+    is_stats: Any = None                                # InsertSizeStats of the PE libs
     config: Any = None
 
     def saves_dir(self, stage_id: str) -> str:
@@ -69,9 +76,16 @@ class AssemblyStage:
         raise NotImplementedError
 
     def save(self, ctx: AssemblyContext, path: str) -> None:
-        """Default checkpoint: graph + contigs + genomic info, if present."""
+        """Full-pack checkpoint (FullPackIO, io/binary/graph_pack.hpp): graph,
+        contigs, genomic info, paired indices, long-read storage, kmer
+        mapper — everything a restart inside the RR region needs."""
         os.makedirs(path, exist_ok=True)
-        from ..graph.serialize import save_graph
+        from ..graph.serialize import (
+            save_graph,
+            save_kmer_mapper,
+            save_long_reads,
+            save_paired_index,
+        )
 
         if ctx.graph is not None:
             save_graph(os.path.join(path, "graph.npz"), ctx.graph)
@@ -90,13 +104,37 @@ class AssemblyStage:
                 "estimated_mean": gi.estimated_mean,
                 "genome_size": gi.genome_size,
             }
+        for name in ("paired_index", "scaffold_index", "mp_index"):
+            pi = getattr(ctx, name)
+            if pi is not None:
+                save_paired_index(os.path.join(path, f"{name}.npz"), pi)
+        if ctx.raw_pair_libs:
+            state["raw_pair_libs"] = []
+            for i, (lib_type, raw, st) in enumerate(ctx.raw_pair_libs):
+                save_paired_index(os.path.join(path, f"raw_pairs_{i}.npz"), raw)
+                state["raw_pair_libs"].append(
+                    (lib_type, [st.median, st.mad, st.mean, st.count])
+                )
+        if ctx.is_stats is not None:
+            st = ctx.is_stats
+            state["is_stats"] = [st.median, st.mad, st.mean, st.count]
+        if ctx.long_read_storage is not None and ctx.long_read_storage.paths:
+            save_long_reads(os.path.join(path, "long_reads.npz"), ctx.long_read_storage)
+        if ctx.kmer_mapper is not None and ctx.kmer_mapper.size:
+            save_kmer_mapper(os.path.join(path, "kmer_mapper.npz"), ctx.kmer_mapper)
         with open(os.path.join(path, "state.json"), "w") as fh:
             json.dump(state, fh)
 
     def load(self, ctx: AssemblyContext, path: str) -> None:
         from ..graph.coverage_model import GenomicInfo
-        from ..graph.serialize import load_graph
+        from ..graph.serialize import (
+            load_graph,
+            load_kmer_mapper,
+            load_long_reads,
+            load_paired_index,
+        )
         from ..io.contigs import Contig
+        from ..paired.paired_info import InsertSizeStats
 
         gpath = os.path.join(path, "graph.npz")
         if os.path.exists(gpath):
@@ -115,6 +153,26 @@ class AssemblyStage:
         ]
         if "genomic_info" in state:
             ctx.genomic_info = GenomicInfo(**state["genomic_info"])
+        for name in ("paired_index", "scaffold_index", "mp_index"):
+            f = os.path.join(path, f"{name}.npz")
+            if os.path.exists(f):
+                setattr(ctx, name, load_paired_index(f))
+        if "raw_pair_libs" in state:
+            ctx.raw_pair_libs = []
+            for i, (lib_type, st) in enumerate(state["raw_pair_libs"]):
+                raw = load_paired_index(os.path.join(path, f"raw_pairs_{i}.npz"))
+                ctx.raw_pair_libs.append(
+                    (lib_type, raw, InsertSizeStats(st[0], st[1], st[2], int(st[3])))
+                )
+        if "is_stats" in state:
+            s = state["is_stats"]
+            ctx.is_stats = InsertSizeStats(s[0], s[1], s[2], int(s[3]))
+        f = os.path.join(path, "long_reads.npz")
+        if os.path.exists(f):
+            ctx.long_read_storage = load_long_reads(f)
+        f = os.path.join(path, "kmer_mapper.npz")
+        if os.path.exists(f):
+            ctx.kmer_mapper = load_kmer_mapper(f)
 
 
 class StageManager:
