@@ -73,28 +73,82 @@ def conj_path(g: CondensedGraph, path: Path) -> Path:
     return Path(edges, gaps)
 
 
-def candidate_weight(
+def ideal_pair_count(
+    len1: int, len2: int, dist: int, insert_size: int, read_len: int, k: int
+) -> int:
+    """Expected read-pair count between two edges at a given start distance,
+    for a point insert-size distribution — the IdealReads formula of
+    `modules/path_extend/ideal_pair_info.hpp:63-88` (non-additive branch).
+    Lengths and dist are in k-mer units, insert size / read length in nt."""
+    if dist == 0:
+        return max(len1 - insert_size + 2 * read_len - 2 - k + 1, 0)
+    if dist < 0:
+        len1, len2 = len2, len1
+        dist = -dist
+    gap_len = dist - len1
+    right = min(insert_size - read_len - 1, gap_len + len2 - 1)
+    left = max(gap_len + k + 1 - read_len, insert_size - read_len - len1 - read_len + k + 1)
+    return max(right - left + 1, 0)
+
+
+def candidate_weights(
     g: CondensedGraph,
     pi: PairedIndex,
     path: Path,
     pos: np.ndarray,
-    cand: int,
+    cands: list[int],
     cand_pos: int,
     cfg: PEConfig,
-) -> float:
-    """Paired support for extending the path with `cand` at cand_pos."""
+) -> np.ndarray:
+    """Normalized paired support for every candidate in ONE vectorized pass
+    per path edge (PathCoverWeightCounter::CountWeight,
+    `weight_counter.hpp:218-280`): a path edge supports a candidate when its
+    actual/ideal pair-weight ratio clears single_threshold; the score is the
+    ideal-weight-fraction of supporting path edges (in [0, 1]).
+
+    Returns (weights, normalized): normalized=True means scores are in
+    [0, 1] and should be cut at cfg.weight_threshold; False means raw summed
+    pair weights (ReadCountWeightCounter analog; also the fallback when no
+    path edge has positive ideal coverage), cut at cfg.min_weight."""
+    C = len(cands)
     delta = max(3.0 * cfg.is_var, 10.0)
-    total = 0.0
+    cands_arr = np.asarray(cands, np.int64)
+    corder = np.argsort(cands_arr)
+    csorted = cands_arr[corder]
+    clens = (g.e_len[cands_arr] - g.k).astype(np.int64)
+    is_nt = int(cfg.insert_size)
+    rl = int(cfg.read_length)
+
+    raw = np.zeros(C)
+    support = np.zeros(C)
+    ideal_tot = np.zeros(C)
     for e, p in zip(path.edges, pos):
-        expected = cand_pos - p
-        if expected - (g.e_len[e] - g.k) > cfg.insert_size + delta:
+        dist = int(cand_pos - p)
+        elen = int(g.e_len[e]) - g.k
+        if dist - elen > cfg.insert_size + delta:
             continue  # too far back to have pairs
+        # actual weight of (e -> each candidate) near the expected distance
+        w_e = np.zeros(C)
         e2s, ds, ws = pi.pairs_from(int(e))
-        if e2s.size == 0:
-            continue
-        m = (e2s == cand) & (np.abs(ds - expected) <= delta)
-        total += float(ws[m].sum())
-    return total
+        if e2s.size:
+            m = np.abs(ds - dist) <= delta
+            if m.any():
+                ins = np.searchsorted(csorted, e2s[m])
+                ins_c = np.minimum(ins, C - 1)
+                hit = csorted[ins_c] == e2s[m]
+                np.add.at(w_e, corder[ins_c[hit]], ws[m][hit])
+        raw += w_e
+        ideal_e = np.array(
+            [ideal_pair_count(elen, int(cl), dist, is_nt, rl, g.k) for cl in clens],
+            float,
+        )
+        has = ideal_e > 0
+        ideal_tot[has] += ideal_e[has]
+        supp = has & (w_e / np.maximum(ideal_e, 1e-9) >= cfg.single_threshold)
+        support[supp] += ideal_e[supp]
+    if not cfg.normalize_weight or not ideal_tot.any():
+        return raw, False
+    return np.where(ideal_tot > 0, support / np.maximum(ideal_tot, 1e-9), 0.0), True
 
 
 def _long_read_choice(long_reads, last: int, cands: list[int]) -> int | None:
@@ -106,6 +160,85 @@ def _long_read_choice(long_reads, last: int, cands: list[int]) -> int | None:
     if scored[0][0] >= 2 and (len(scored) == 1 or scored[0][0] >= 2 * max(scored[1][0], 1)):
         return scored[0][1]
     return None
+
+
+def get_loop_and_exit(g: CondensedGraph, fwd: int):
+    """GetLoopAndExit (loop_detector.cpp:15-45): detect the canonical short
+    loop pattern around forward-cycle edge `fwd`.  Returns (back_cycle_edge,
+    loop_outgoing, loop_incoming) or None."""
+    loop_end = int(g.e_end[fwd])
+    loop_start = int(g.e_start[fwd])
+    outs = [int(e) for e in g.out_edges_of(loop_end)]
+    ins_end = g.in_edges_of(loop_end)
+    outs_start = g.out_edges_of(loop_start)
+    ins_start = [int(e) for e in g.in_edges_of(loop_start)]
+    if len(outs) != 2 or len(ins_end) != 1 or len(outs_start) != 1 or len(ins_start) != 2:
+        return None
+    e1, e2 = outs
+    if int(g.e_end[e1]) == int(g.e_end[e2]):
+        return None  # pathological: two glued loops
+    if int(g.e_end[e1]) == loop_start:
+        back, exit_edge = e1, e2
+    elif int(g.e_end[e2]) == loop_start:
+        back, exit_edge = e2, e1
+    else:
+        return None
+    incoming = next((e for e in ins_start if e != back), None)
+    if incoming is None:
+        return None
+    return back, exit_edge, incoming
+
+
+def resolve_short_loop(g: CondensedGraph, path: Path, cfg: PEConfig) -> bool:
+    """ShortLoopResolver::MakeBestChoice with the CoverageLoopEstimator
+    (path_extender.hpp:58-186): undo any traversed (back, fwd) iterations,
+    estimate the loop multiplicity from coverage, then unroll it that many
+    times (full unroll when the unrolled span is short — the plasmid branch)
+    or emit a 100-N jump to the exit edge.  Returns True if the path was
+    advanced past the loop."""
+    if len(path.edges) < 2:
+        return False
+    fwd = int(path.edges[-1])
+    loop = get_loop_and_exit(g, fwd)
+    if loop is None:
+        return False
+    back, exit_edge, incoming = loop
+    # UndoCycles: pop already-walked (back, fwd) pairs
+    start = len(path.edges)
+    while start > 2 and path.edges[start - 1] == fwd and path.edges[start - 2] == back:
+        start -= 2
+    if path.edges[start - 1] == fwd:
+        del path.edges[start:]
+        del path.gaps[start:]
+    if len(path.edges) < 2:
+        return False
+    cov = g.coverage()
+    incoming_path_edge = int(path.edges[-2])
+    avg = (cov[incoming_path_edge] + cov[exit_edge]) / 2.0
+    if avg <= 0:
+        return False
+    fwd_count = round(float(cov[fwd]) / avg)
+    back_count = round(float(cov[back]) / avg)
+    loop_count = int(round(max(0.0, min(fwd_count - 1.0, back_count))))
+    span = int(g.e_len[fwd] + g.e_len[back]) - 2 * g.k
+    if loop_count == 0:
+        path.edges.append(exit_edge)
+        path.gaps.append(0)
+    elif loop_count == 1 or loop_count * span < cfg.loop_unroll_nt_limit:
+        for _ in range(loop_count):
+            path.edges.append(back)
+            path.gaps.append(0)
+            path.edges.append(fwd)
+            path.gaps.append(0)
+        path.edges.append(exit_edge)
+        path.gaps.append(0)
+    else:
+        # many long cycles: jump to the exit with a fixed 100-N stretch
+        path.edges.append(back)
+        path.gaps.append(0)
+        path.edges.append(exit_edge)
+        path.gaps.append(g.k + 100)
+    return True
 
 
 def extend_path_forward(
@@ -121,18 +254,22 @@ def extend_path_forward(
     cands = [e for e in cands if counts[e] < cfg.max_edge_repeat]
     if not cands:
         return False
+    # LoopDetectingPathExtender: entering the canonical short loop is handled
+    # by the resolver (coverage-estimated unroll), not the chooser
+    if len(path.edges) >= 2 and get_loop_and_exit(g, int(last)) is not None:
+        if resolve_short_loop(g, path, cfg):
+            return True
     if len(cands) == 1:
         path.edges.append(cands[0])
         path.gaps.append(0)
         return True
     pos = path_positions(g, path)
     cand_pos = int(pos[-1]) + int(g.e_len[last]) - g.k
-    weights = np.array(
-        [candidate_weight(g, pi, path, pos, c, cand_pos, cfg) for c in cands]
-    )
+    weights, normalized = candidate_weights(g, pi, path, pos, cands, cand_pos, cfg)
     best = int(np.argmax(weights))
+    threshold = cfg.weight_threshold if normalized else cfg.min_weight
     choice: int | None = None
-    if weights[best] >= cfg.min_weight:
+    if weights[best] >= threshold:
         strong = np.flatnonzero(weights >= cfg.rel_weight * weights[best])
         if strong.size == 1:
             choice = cands[best]
@@ -141,7 +278,7 @@ def extend_path_forward(
         # (extenders_logic.cpp long-read extender in the composite chain)
         choice = _long_read_choice(long_reads, last, cands)
     if choice is None:
-        return False  # ambiguous — stop (the reference defers to loop resolvers)
+        return False  # ambiguous — stop
     path.edges.append(choice)
     path.gaps.append(0)
     return True
@@ -176,36 +313,110 @@ def resolve_repeats(
 
 def remove_contained(g: CondensedGraph, paths: list[Path]) -> list[Path]:
     """Drop paths whose edge sequence is contained in another path (or its
-    conjugate) — PEResolver overlap-removal light."""
+    conjugate) — PEResolver overlap-removal light.
 
-    def tup(p: Path):
-        return tuple(p.edges)
-
-    def contains(big: tuple, small: tuple) -> bool:
-        if len(small) > len(big):
-            return False
-        return any(
-            big[i : i + len(small)] == small
-            for i in range(len(big) - len(small) + 1)
-        )
+    Near-linear: occurrences are found through a first-edge position index
+    instead of the all-pairs windowed scan (the reference deduplicates
+    through a coverage map keyed by edge for the same reason,
+    pe_resolver.hpp)."""
+    all_tups = [(tuple(p.edges), tuple(conj_path(g, p).edges)) for p in paths]
+    # first-edge -> [(path j, window start)]
+    occ: dict[int, list[tuple[int, int, bool]]] = {}
+    for j, (tq, tqc) in enumerate(all_tups):
+        for s, e in enumerate(tq):
+            occ.setdefault(int(e), []).append((j, s, False))
+        for s, e in enumerate(tqc):
+            occ.setdefault(int(e), []).append((j, s, True))
 
     keep: list[Path] = []
-    all_tups = [(tup(p), tup(conj_path(g, p))) for p in paths]
     for i, p in enumerate(paths):
         t = all_tups[i][0]
         contained = False
-        for j, q in enumerate(paths):
-            if i == j:
+        for j, s, is_conj in occ.get(int(t[0]), ()):
+            if j == i:
                 continue
-            tq, tqc = all_tups[j]
-            if (len(t) < len(tq) or (len(t) == len(tq) and i > j)) and (
-                contains(tq, t) or contains(tqc, t)
-            ):
-                contained = True
-                break
+            tq = all_tups[j][1] if is_conj else all_tups[j][0]
+            if len(t) < len(tq) or (len(t) == len(tq) and i > j):
+                if tq[s : s + len(t)] == t:
+                    contained = True
+                    break
         if not contained:
             keep.append(p)
     return keep
+
+
+def find_paths_bounded(
+    g: CondensedGraph,
+    v_from: int,
+    v_to: int,
+    max_len: int,
+    max_paths: int = 64,
+    max_steps: int = 8000,
+) -> list[list[int]] | None:
+    """Exhaustive bounded path search between two vertices
+    (omnigraph::ProcessPaths / PathProcessor analog): all edge paths from
+    v_from to v_to with total k-mer length <= max_len.  Returns None when the
+    search budget is exhausted (the reference's nonzero exit code)."""
+    out: list[list[int]] = []
+    lens = g.edge_kmer_lengths()
+    stack: list[tuple[int, int, list[int]]] = [(int(v_from), 0, [])]
+    steps = 0
+    while stack:
+        v, dist, prefix = stack.pop()
+        steps += 1
+        if steps > max_steps:
+            return None
+        if v == v_to and prefix:
+            out.append(prefix)
+            if len(out) >= max_paths:
+                return None
+            continue
+        for e in g.out_edges_of(v):
+            e = int(e)
+            nd = dist + int(lens[e])
+            if nd <= max_len:
+                stack.append((int(g.e_end[e]), nd, prefix + [e]))
+    return out
+
+
+def polish_paths(g: CondensedGraph, paths: list[Path], cfg: PEConfig) -> list[Path]:
+    """PathPolisher (scaffolder2015/path_polisher.cpp): try to replace every
+    scaffold gap with real graph edges.
+
+    Per gap, a bounded exhaustive search connects the flanking edges; a
+    unique path fills the gap with its edges (gap -> 0); multiple paths
+    re-estimate the gap as the shortest connection length (FillWithBridge's
+    length fix) and keep the N stretch."""
+    result: list[Path] = []
+    for p in paths:
+        edges: list[int] = [p.edges[0]]
+        gaps: list[int] = [p.gaps[0]]
+        for i in range(1, len(p.edges)):
+            prev, cur, gap = edges[-1], int(p.edges[i]), int(p.gaps[i])
+            adjacent = int(g.e_end[prev]) == int(g.e_start[cur])
+            if gap <= 0 and adjacent:
+                edges.append(cur)
+                gaps.append(gap)
+                continue
+            found = find_paths_bounded(
+                g, int(g.e_end[prev]), int(g.e_start[cur]),
+                max_len=max(cfg.max_polisher_gap, gap + int(3 * cfg.is_var)),
+            )
+            if found is None or len(found) == 0:
+                edges.append(cur)
+                gaps.append(gap)
+            elif len(found) == 1:
+                for e in found[0]:
+                    edges.append(int(e))
+                    gaps.append(0)
+                edges.append(cur)
+                gaps.append(0)
+            else:
+                shortest = min(int(sum(g.edge_kmer_lengths()[e] for e in f)) for f in found)
+                edges.append(cur)
+                gaps.append(max(shortest, cfg.min_gap))
+        result.append(Path(edges, gaps))
+    return result
 
 
 def path_sequence(g: CondensedGraph, path: Path) -> str:

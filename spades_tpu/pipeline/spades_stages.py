@@ -589,7 +589,9 @@ class RepeatResolution(AssemblyStage):
         scaffold_pi = ctx.scaffold_index
         mp_indices = [ctx.mp_index] if ctx.mp_index is not None else []
         cfg = PEConfig(
-            insert_size=is_stats.median, is_var=max(is_stats.mad, 10.0)
+            insert_size=is_stats.median,
+            is_var=max(is_stats.mad, 10.0),
+            read_length=ctx.read_length,
         )
         paths = resolve_repeats(ctx.graph, pi, cfg, ctx.long_read_storage)
         log.info("%d paths after extension", len(paths))
@@ -627,6 +629,11 @@ class RepeatResolution(AssemblyStage):
                 "mate-pair scaffold graph: %d vertices, %d links",
                 sg.num_vertices, sg.num_edges,
             )
+        # PathPolisher: replace scaffold N-gaps with real graph paths when a
+        # bounded search finds a unique connection (launcher.cpp:477-510)
+        from ..paired.path_extend import polish_paths
+
+        scaffolds = polish_paths(ctx.graph, scaffolds, cfg)
         ctx.scaffolds, ctx.scaffold_paths = to_contigs(scaffolds)
         log.info(
             "%d contigs, %d scaffolds after repeat resolution",

@@ -66,7 +66,32 @@ class TestRepeatResolution:
         )
 
     def test_no_pairs_no_resolution(self):
-        # without paired info the repeat stays unresolved (no wrong joins)
+        # a CROSS repeat (two chromosomes sharing R: A-R-B and C-R-D) is not
+        # the canonical short-loop pattern, so without paired info it must
+        # stay unresolved (no wrong joins)
+        rng = np.random.default_rng(12)
+        k = 21
+        A = clean_random_dna(rng, 150, k)
+        R = clean_random_dna(rng, 60, k)
+        B = clean_random_dna(rng, 150, k)
+        C = clean_random_dna(rng, 150, k)
+        D = clean_random_dna(rng, 150, k)
+        chr1, chr2 = A + R + B, C + R + D
+        g = construct_graph([chr1, chr2], k).graph
+        from spades_tpu.paired.paired_info import PairedIndex
+
+        z = np.zeros(0)
+        pi = PairedIndex(z.astype(np.int64), z.astype(np.int64), z, z)
+        paths = resolve_repeats(g, pi, PEConfig())
+        seqs = [path_sequence(g, p) for p in paths]
+        bad = {chr1, dna.revcomp_str(chr1), chr2, dna.revcomp_str(chr2),
+               A + R + D, C + R + B}
+        assert all(s not in bad for s in seqs)
+
+    def test_coverage_loop_resolution_without_pairs(self):
+        # the dumbbell A-R-B-R-C IS the canonical short loop: the coverage
+        # loop estimator resolves it with zero paired info
+        # (path_extender.hpp CoverageLoopEstimator)
         rng = np.random.default_rng(12)
         k = 21
         genome, _ = repeat_genome(rng, k)
@@ -77,8 +102,8 @@ class TestRepeatResolution:
         pi = PairedIndex(z.astype(np.int64), z.astype(np.int64), z, z)
         paths = resolve_repeats(g, pi, PEConfig())
         seqs = [path_sequence(g, p) for p in paths]
-        # must NOT spell the full genome by guessing
-        assert all(s not in (genome, dna.revcomp_str(genome)) for s in seqs)
+        best = max(seqs, key=len)
+        assert best in (genome, dna.revcomp_str(genome))
 
 
 class TestScaffolding:
