@@ -12,11 +12,13 @@ TPU redesign: counting rides the device sort engine (ops/count); clustering is
 sub-k-mer block sorting (clustering.py); correction is a fused device voting
 kernel — every read window gathers its cluster center's bases and scatter-adds
 one-hot votes onto a (reads, positions, 4) tally, then argmax rewrites the
-read.  The reference's quality-weighted Bayesian subclustering
-(`kmer_cluster.cpp`) is approximated by count-weighted center selection with a
-coverage-model solidity bound — quality scores do not survive into the packed
-device layout (they are IO-validated and dropped, as the binary-read
-conversion also effectively does for later stages).
+read.  When PHRED qualities are supplied, the reference's quality-weighted
+machinery runs too (`kmer_cluster.cpp`, `expander.cpp` — see hammer/bayes.py):
+per-k-mer per-position error probabilities are aggregated during counting,
+Hamming clusters are refined by BIC-scored Bayesian subclustering, centers are
+quality-weighted consensi, solidity becomes a posterior over count AND total
+error probability, and the solid set expands iteratively through reads fully
+covered by solid k-mers.  Without qualities the count-only path is used.
 """
 from __future__ import annotations
 
@@ -46,6 +48,10 @@ class HammerConfig:
     # a position is rewritten only when the winning base holds a clear
     # majority of the votes (read_corrector.cpp consensus discipline)
     majority: float = 0.5
+    # quality-aware path (hammer/bayes.py) switches
+    use_quality: bool = True
+    subcluster_max_members: int = 64
+    expander_rounds: int = 8
 
 
 @dataclass
@@ -110,19 +116,50 @@ def _vote_correct_batch(
     return np.asarray(out), np.asarray(win)
 
 
-def _correct_pass(seqs: list[str], cfg: HammerConfig, stats: HammerStats) -> list[str]:
+def _correct_pass(
+    seqs: list[str],
+    cfg: HammerConfig,
+    stats: HammerStats,
+    quals: list[str] | None = None,
+) -> list[str]:
     # Unlike the assembly counting path, hammer counts N windows too (N read
     # as A): an erroneous k-mer must itself be in the table so the clustering
     # can map it to its solid center (hamcluster semantics — bad k-mers join
     # the cluster of the true k-mer they derive from).
-    kc = count_sequences([s.upper().replace("N", "A") for s in seqs], cfg.k)
+    clean = [s.upper().replace("N", "A") for s in seqs]
+    kc = count_sequences(clean, cfg.k)
     if kc.num_unique == 0:
         return seqs
     labels = cluster_kmers(kc.words, cfg.k, cfg.tau)
-    centers, totals = _cluster_centers(kc.words, kc.counts, labels)
     info = fit_coverage_model(kc.counts)
     solid_bound = max(cfg.min_solid_count, info.ec_bound)
-    solid_center = kc.counts[centers] >= solid_bound
+
+    use_quality = cfg.use_quality and quals is not None and any(quals)
+    if use_quality:
+        from . import bayes
+
+        kq = bayes.accumulate_quality(kc, clean, quals, cfg.k, cfg.batch_size)
+        labels = bayes.subcluster_all(
+            kc.words, kc.counts, labels, kq, cfg.k, cfg.subcluster_max_members
+        )
+        centers, totals = _cluster_centers(kc.words, kc.counts, labels)
+        solid_center = bayes.solid_posterior(
+            kc.counts[centers], kq.total_err_prob()[centers], solid_bound
+        )
+        # iterative solid-set expansion runs over the full k-mer solid mask
+        solid_kmer = solid_center[labels] & (centers[labels] == np.arange(kc.num_unique))
+        solid_kmer, rounds = bayes.expand_solid(
+            kc, solid_kmer, clean, cfg.k, cfg.expander_rounds, cfg.batch_size
+        )
+        # an expanded-solid k-mer acts as its own center from here on
+        newly = solid_kmer & (centers[labels] != np.arange(kc.num_unique))
+        if newly.any():
+            log.info("hammer: expander certified %d extra k-mers in %d rounds",
+                     int(newly.sum()), rounds)
+    else:
+        centers, totals = _cluster_centers(kc.words, kc.counts, labels)
+        solid_center = kc.counts[centers] >= solid_bound
+        newly = np.zeros(kc.num_unique, bool)
     stats.unique_kmers = kc.num_unique
     stats.clusters = len(centers)
     stats.solid_kmers = int(solid_center.sum())
@@ -131,9 +168,10 @@ def _correct_pass(seqs: list[str], cfg: HammerConfig, stats: HammerStats) -> lis
         kc.num_unique, cfg.k, len(centers), stats.solid_kmers, solid_bound,
     )
 
-    # precompute per-unique-kmer: its center row index and solidity
-    center_idx_of_kmer = centers[labels]
-    kmer_good = solid_center[labels]
+    # precompute per-unique-kmer: its center row index and solidity;
+    # expander-certified k-mers vote for themselves
+    center_idx_of_kmer = np.where(newly, np.arange(kc.num_unique), centers[labels])
+    kmer_good = solid_center[labels] | newly
     center_codes_all = K.unpack(kc.words, cfg.k)  # canonical orientation
 
     out: list[str] = []
@@ -184,17 +222,22 @@ def _correct_pass(seqs: list[str], cfg: HammerConfig, stats: HammerStats) -> lis
     return out
 
 
-def correct_reads(seqs: list[str], cfg: HammerConfig | None = None) -> tuple[list[str], HammerStats]:
+def correct_reads(
+    seqs: list[str],
+    cfg: HammerConfig | None = None,
+    quals: list[str] | None = None,
+) -> tuple[list[str], HammerStats]:
     """Correct sequencing errors in reads; returns (corrected reads, stats).
 
     Order and count of reads are preserved (the reference also keeps pairing
-    intact; full-read discarding is left to the caller).
+    intact; full-read discarding is left to the caller).  `quals` (parallel
+    PHRED strings, or None) turns on the quality-aware Bayesian path.
     """
     cfg = cfg or HammerConfig()
     stats = HammerStats(reads_total=len(seqs))
     for it in range(cfg.n_iters):
         before = stats.bases_changed
-        seqs = _correct_pass(seqs, cfg, stats)
+        seqs = _correct_pass(seqs, cfg, stats, quals)
         log.info(
             "hammer iteration %d: %d bases changed", it, stats.bases_changed - before
         )

@@ -31,6 +31,10 @@ class SequencingLibrary:
     orientation: str = ""
     left: list[str] = field(default_factory=list)    # left mates / all reads
     right: list[str] = field(default_factory=list)   # right mates (paired only)
+    # parallel PHRED strings ("" when the source was FASTA) — consumed by the
+    # quality-aware hammer path (projects/hammer/kmer_cluster.cpp analog)
+    left_quals: list[str] = field(default_factory=list)
+    right_quals: list[str] = field(default_factory=list)
     # per-library data (library_data.hpp): filled in by the pipeline
     read_length: int = 0
     insert_size: float = 0.0

@@ -158,19 +158,28 @@ def main(argv=None) -> int:
     def _seqs(path):
         return [r.seq for r in read_fastx(path)]
 
+    def _seqs_quals(path):
+        seqs, quals = [], []
+        for r in read_fastx(path):
+            seqs.append(r.seq)
+            quals.append(r.qual or "")
+        return seqs, quals
+
     dataset = DataSet()
     if args.dataset:
         dataset = load_dataset_yaml(args.dataset)
     for p1, p2 in zip(args.pe1, args.pe2):
-        r1, r2 = _seqs(p1), _seqs(p2)
+        (r1, q1), (r2, q2) = _seqs_quals(p1), _seqs_quals(p2)
         if len(r1) != len(r2):
             log.error("paired files %s / %s length mismatch", p1, p2)
             return 64
-        dataset.libraries.append(SequencingLibrary(type="paired-end", left=r1, right=r2))
+        dataset.libraries.append(SequencingLibrary(
+            type="paired-end", left=r1, right=r2, left_quals=q1, right_quals=q2))
     for p in args.interlaced:
-        rs = _seqs(p)
+        rs, qs = _seqs_quals(p)
         dataset.libraries.append(
-            SequencingLibrary(type="paired-end", left=rs[0::2], right=rs[1::2])
+            SequencingLibrary(type="paired-end", left=rs[0::2], right=rs[1::2],
+                              left_quals=qs[0::2], right_quals=qs[1::2])
         )
     for p1, p2 in zip(args.mp1, args.mp2):
         dataset.libraries.append(
@@ -181,7 +190,8 @@ def main(argv=None) -> int:
             SequencingLibrary(type="hq-mate-pairs", left=_seqs(p1), right=_seqs(p2))
         )
     for p in args.single + args.merged:
-        dataset.libraries.append(SequencingLibrary(type="single", left=_seqs(p)))
+        rs, qs = _seqs_quals(p)
+        dataset.libraries.append(SequencingLibrary(type="single", left=rs, left_quals=qs))
     for p in args.pacbio:
         dataset.libraries.append(SequencingLibrary(type="pacbio", left=_seqs(p)))
     for p in args.nanopore:
@@ -209,7 +219,7 @@ def main(argv=None) -> int:
         if args.iontorrent:
             from ..hammer.ionhammer import correct_ion_reads
 
-            def correct_reads(flat, _cfg=None):  # noqa: F811 — mode dispatch
+            def correct_reads(flat, _cfg=None, quals=None):  # noqa: F811 — mode dispatch
                 fixed, changed = correct_ion_reads(flat)
                 from ..hammer.hammer import HammerStats
 
@@ -219,15 +229,19 @@ def main(argv=None) -> int:
                 )
 
         flat: list[str] = []
+        flat_quals: list[str] = []
         spans = []  # (lib, n_left, n_right) in order
         for lib in dataset.libraries:
             if lib.is_paired:
                 spans.append((lib, len(lib.left), len(lib.right)))
                 flat += lib.left + lib.right
+                flat_quals += (lib.left_quals or [""] * len(lib.left))
+                flat_quals += (lib.right_quals or [""] * len(lib.right))
             elif lib.type == "single":
                 spans.append((lib, len(lib.left), 0))
                 flat += lib.left
-        corrected, st = correct_reads(flat, HammerConfig())
+                flat_quals += (lib.left_quals or [""] * len(lib.left))
+        corrected, st = correct_reads(flat, HammerConfig(), quals=flat_quals)
         log.info(
             "error correction: %d/%d reads changed, %d bases",
             st.reads_changed, st.reads_total, st.bases_changed,
