@@ -115,27 +115,34 @@ def write_hmm(path: str, hmm: ProfileHMM) -> None:
             fh.write("        " + " ".join(fmt(x) for x in hmm.trans[m]) + "\n")
 
 
-def hmm_from_consensus(seq: str, name: str = "motif", match_p: float = 0.9) -> ProfileHMM:
-    """Build a simple DNA profile from a consensus string (test helper and
-    the easy path for motif search without hmmbuild)."""
-    from ..core import dna
+def hmm_from_consensus(
+    seq: str, name: str = "motif", match_p: float = 0.9, alphabet: str = "dna"
+) -> ProfileHMM:
+    """Build a simple profile from a consensus string (test helper and the
+    easy path for motif search without hmmbuild).  alphabet: dna | amino."""
+    if alphabet == "amino":
+        order = "ACDEFGHIKLMNPQRSTVWY"
+        codes = [order.index(c) for c in seq]
+        K = 20
+    else:
+        from ..core import dna
 
-    codes = dna.encode(seq)
+        codes = dna.encode(seq)
+        K = 4
     M = len(codes)
-    K = 4
-    off_p = (1.0 - match_p) / 3
+    off_p = (1.0 - match_p) / (K - 1)
     me = np.full((M + 1, K), -np.log(off_p))
     me[0] = np.inf
     for i, c in enumerate(codes, start=1):
         me[i, c] = -np.log(match_p)
-    ie = np.full((M + 1, K), -np.log(0.25))
+    ie = np.full((M + 1, K), -np.log(1.0 / K))
     tr = np.tile(
         [-np.log(0.95), -np.log(0.025), -np.log(0.025),
          -np.log(0.5), -np.log(0.5), -np.log(0.5), -np.log(0.5)],
         (M + 1, 1),
     )
     return ProfileHMM(
-        name=name, length=M, alphabet="dna", K=K,
+        name=name, length=M, alphabet=alphabet, K=K,
         match_emit=me, insert_emit=ie, trans=tr,
-        compo=np.full(K, -np.log(0.25)),
+        compo=np.full(K, -np.log(1.0 / K)),
     )

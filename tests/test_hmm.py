@@ -101,3 +101,68 @@ class TestPathracerTool:
         assert pathracer.main([hmmf, gfa, "-w", wd]) == 0
         tsv = open(os.path.join(wd, "pathracer.tsv")).read().strip().split("\n")
         assert len(tsv) >= 2 and tsv[1].startswith("motif1\t")
+
+
+class TestCursorDP:
+    """Exactness of the graph-cursor DP (pathracer hmmpath.hpp analog)."""
+
+    def test_score_matches_sequence_viterbi(self):
+        genome = _random_seq(300, 21) + MOTIF + _random_seq(300, 22)
+        g = construct_graph([genome], K).graph
+        h = hmm_from_consensus(MOTIF)
+        [hit, *_] = align_hmm_to_graph(g, h, score_threshold=10)
+        # the DP score of a hit equals the sequence-level local Viterbi of
+        # its own matched window (identical scoring model)
+        s, _, _ = viterbi_score(h, hit.seq)
+        assert abs(s - hit.score) < 1e-6
+
+    def test_scale_no_path_cap(self):
+        """Motif planted on a high-id edge of a >10k-edge tangle: a DFS
+        enumerating at most 1000 seed paths in id order (the round-1
+        implementation) could never score this edge; the cursor DP covers
+        every cursor exactly."""
+        from spades_tpu.graph.synthetic import synthetic_tangled_graph
+
+        g = synthetic_tangled_graph(12_000, k=K, seed=3, fill_sequences=True)
+        assert g.num_edges > 10_000
+        motif = dna.encode(MOTIF)
+        # pick a forward edge with a high id, long enough to hold the motif
+        cand = np.flatnonzero(
+            (np.arange(g.num_edges) % 2 == 0) & (g.e_len >= len(motif) + 4)
+        )
+        e = int(cand[-1])
+        assert e > 2000
+        off = 2
+        L = int(g.e_len[e])
+        g.seq_pool[g.e_off[e] + off : g.e_off[e] + off + len(motif)] = motif
+        # mirror into the conjugate row to keep rc-consistency
+        ec = int(g.e_conj[e])
+        fwd = g.seq_pool[g.e_off[e] : g.e_off[e] + L]
+        g.seq_pool[g.e_off[ec] : g.e_off[ec] + L] = (3 - fwd[::-1]).astype(
+            np.uint8
+        )
+        h = hmm_from_consensus(MOTIF)
+        hits = align_hmm_to_graph(g, h, score_threshold=15)
+        assert hits
+        assert any(e in hit.path or ec in hit.path for hit in hits)
+
+    def test_amino_profile_on_graph(self):
+        from spades_tpu.hmm.align import translate
+
+        pep = "MKLVNWAERT" * 3
+        codons = {}
+        for c, aa in [
+            ("ATG", "M"), ("AAA", "K"), ("CTG", "L"), ("GTT", "V"),
+            ("AAC", "N"), ("TGG", "W"), ("GCA", "A"), ("GAA", "E"),
+            ("CGT", "R"), ("ACC", "T"),
+        ]:
+            codons[aa] = c
+        orf = "".join(codons[a] for a in pep)
+        genome = _random_seq(250, 31) + orf + _random_seq(250, 32)
+        g = construct_graph([genome], K).graph
+        h = hmm_from_consensus(pep, alphabet="amino")
+        hits = align_hmm_to_graph(g, h, score_threshold=20)
+        assert hits
+        t = translate(hits[0].seq)
+        trc = translate(dna.revcomp_str(hits[0].seq))
+        assert pep in t or pep in trc
