@@ -31,7 +31,10 @@ log = logging.getLogger("spades_tpu.long_read")
 
 @dataclass
 class AlignerConfig:
-    k: int = 15                 # anchor k (pacbio_k analog; < graph k)
+    k: int = 13                 # anchor k (pacbio_k analog; < graph k).
+                                # 13 keeps anchor yield usable at CLR-level
+                                # ~12% noise (a clean 13-mer survives ~19% of
+                                # positions vs 15-mer's 15%)
     min_cluster_anchors: int = 3
     diag_tolerance: int = 40    # indel slack within one cluster
     min_identity_span: int = 50  # minimal read span of a usable cluster
@@ -109,27 +112,31 @@ def align_long_read(
     if a.shape[0] == 0:
         return out
 
-    # cluster anchors per (edge, quantized diagonal) — pac_index clustering
+    # cluster anchors per edge along the diagonal (pac_index clustering):
+    # sort by (edge, diagonal) and split where the diagonal jumps by more
+    # than the indel slack — drifting diagonals stay in one cluster instead
+    # of being cut at fixed bucket boundaries
     diag = a[:, 2] - a[:, 0]
-    key = np.stack([a[:, 1], diag // cfg.diag_tolerance], axis=1)
-    order = np.lexsort((a[:, 0], key[:, 1], key[:, 0]))
-    a, key = a[order], key[order]
-    newc = np.concatenate([[True], np.any(key[1:] != key[:-1], axis=1)])
+    order = np.lexsort((a[:, 0], diag, a[:, 1]))
+    a, diag = a[order], diag[order]
+    newc = np.concatenate(
+        [[True],
+         (a[1:, 1] != a[:-1, 1]) | (np.diff(diag) > cfg.diag_tolerance)]
+    )
     cid = np.cumsum(newc) - 1
     clusters = []
     for c in range(cid[-1] + 1):
-        m = cid == c
-        rows = a[m]
+        rows = a[cid == c]
         if rows.shape[0] < cfg.min_cluster_anchors:
             continue
-        rs, re = int(rows[0, 0]), int(rows[-1, 0]) + k
+        rs, re = int(rows[:, 0].min()), int(rows[:, 0].max()) + k
         if re - rs < cfg.min_identity_span:
             continue
         clusters.append(
             Chained(
                 edge=int(rows[0, 1]),
                 read_start=rs, read_end=re,
-                edge_start=int(rows[0, 2]), edge_end=int(rows[-1, 2]) + k,
+                edge_start=int(rows[:, 2].min()), edge_end=int(rows[:, 2].max()) + k,
                 anchors=int(rows.shape[0]),
             )
         )
@@ -239,9 +246,14 @@ def close_gaps_with_long_reads(
 ) -> int:
     """Splice tip-to-tip gaps witnessed by >= min_support long reads.
 
-    The filling sequence is the consensus-by-median-length read segment (the
-    reference builds an SPOA multi-alignment consensus; with the segments
-    already anchored at both ends, the median segment is a robust stand-in)."""
+    The filling sequence is a pileup consensus of all supporting read
+    segments (the reference runs SPOA over the collected gap sequences,
+    `hybrid_gap_closer.hpp:312-320`; here `alignment/edit.consensus` —
+    medoid backbone + banded-alignment column voting — plays that role, with
+    Myers-distance outlier filtering like the reference's edlib pre-check in
+    `gap_filler.cpp`)."""
+    from .edit import consensus, edit_distances
+
     by_junction: dict[tuple[int, int], list[GapRecord]] = {}
     for al in alignments:
         for rec in al.gaps:
@@ -257,16 +269,45 @@ def close_gaps_with_long_reads(
             continue
         if out_deg[g.e_end[ea]] != 0 or in_deg[g.e_start[eb]] != 0:
             continue  # only close dead-end junctions (gap closer contract)
-        recs.sort(key=lambda r: len(r.segment) + r.left_trim + r.right_trim)
-        rec = recs[len(recs) // 2]
         tail = g.edge_codes(ea)
         head = g.edge_codes(eb)
-        mid = dna.encode(rec.segment)
+        # normalize every record to the same anchored window: the last T
+        # bases of the left edge + gap segment + first H bases of the right
+        # edge, so copies are directly comparable for consensus
+        T = max(r.left_trim for r in recs)
+        H = max(r.right_trim for r in recs)
+        T = min(T + 10, len(tail))
+        H = min(H + 10, len(head))
+        windows = []
+        for r in recs:
+            if r.left_trim > len(tail) or r.right_trim > len(head):
+                continue
+            mid = dna.encode(r.segment)
+            if (mid >= 4).any():
+                continue
+            win = np.concatenate(
+                [
+                    tail[len(tail) - T : len(tail) - r.left_trim],
+                    mid,
+                    head[r.right_trim : H],
+                ]
+            )
+            windows.append(dna.decode(win.astype(np.uint8)))
+        if len(windows) < min_support:
+            continue
+        if len(windows) >= 3:
+            # drop outliers: copies far from the medoid are misaligned reads
+            med = windows[len(windows) // 2]
+            d = edit_distances(med, windows)
+            lens = np.array([max(len(w), 1) for w in windows])
+            keep = d / lens < 0.45
+            if keep.sum() >= min_support:
+                windows = [w for w, k in zip(windows, keep) if k]
+        fill = consensus(windows)
+        mid = dna.encode(fill)
         if (mid >= 4).any():
             continue
-        keep_tail = tail[: len(tail) - rec.left_trim] if rec.left_trim else tail
-        keep_head = head[rec.right_trim :]
-        joined = np.concatenate([keep_tail, mid, keep_head])
+        joined = np.concatenate([tail[: len(tail) - T], mid, head[H:]])
         if len(joined) < g.k + 1:
             continue
         g.add_edge_pair(
@@ -276,7 +317,7 @@ def close_gaps_with_long_reads(
         g.kill_edges(np.array([ea, eb]))
         closed += 1
         log.info(
-            "hybrid gap close %d->%d: %dnt segment, support %d",
-            ea, eb, len(rec.segment), len(recs),
+            "hybrid gap close %d->%d: %dnt consensus window, support %d",
+            ea, eb, len(fill), len(windows),
         )
     return closed

@@ -31,8 +31,9 @@ def main(argv=None) -> int:
 
     g = graph_from_gfa(read_gfa(args.gfa), args.kmer)
     print(f"loaded {len(g.canonical_edge_ids())} segments from {args.gfa}")
-    # contigs are high-accuracy: longer anchors cut chaining noise
-    cfg = AlignerConfig(k=21 if args.datatype == "contigs" else 15)
+    # contigs are high-accuracy: longer anchors cut chaining noise; noisy
+    # long reads use the short default anchor k
+    cfg = AlignerConfig(k=21) if args.datatype == "contigs" else AlignerConfig()
     index = build_edge_index(g, cfg.k)
 
     os.makedirs(args.workdir, exist_ok=True)
