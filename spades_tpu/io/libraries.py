@@ -15,8 +15,8 @@ from ..core import dna
 
 # reference library type strings (library.hpp LibraryType enum)
 PAIRED_TYPES = ("paired-end", "mate-pairs", "hq-mate-pairs")
-LONG_TYPES = ("pacbio", "nanopore", "tslr")
-CONTIG_TYPES = ("trusted-contigs", "untrusted-contigs", "path-extend-contigs")
+LONG_TYPES = ("pacbio", "nanopore", "sanger", "tslr")
+CONTIG_TYPES = ("trusted-contigs", "untrusted-contigs", "path-extend-contigs", "fl-rna")
 SINGLE_TYPES = ("single",)
 ALL_TYPES = PAIRED_TYPES + LONG_TYPES + CONTIG_TYPES + SINGLE_TYPES
 

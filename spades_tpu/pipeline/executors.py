@@ -58,16 +58,22 @@ def dump_sh(path: str, argv: list[str]) -> None:
 
 
 def dump_slurm(path: str, argv: list[str], threads: int = 16, memory_gb: int = 250,
-               partition: str | None = None, time_limit: str = "24:00:00") -> None:
-    """submit_spades.sh: sbatch script (executor_slurm.py surface)."""
+               partition: str | None = None, time_limit: str = "24:00:00",
+               nnodes: int = 1, extra: str | None = None) -> None:
+    """submit_spades.sh: sbatch script (executor_slurm.py surface; the
+    --grid-queue/--grid-time/--grid-nnodes/--grid-extra option family)."""
     with open(path, "w") as fh:
         fh.write("#!/bin/bash\n")
         fh.write(f"#SBATCH --job-name=spades_tpu\n")
         fh.write(f"#SBATCH --cpus-per-task={threads}\n")
         fh.write(f"#SBATCH --mem={memory_gb}G\n")
         fh.write(f"#SBATCH --time={time_limit}\n")
+        if nnodes > 1:
+            fh.write(f"#SBATCH --nodes={nnodes}\n")
         if partition:
             fh.write(f"#SBATCH --partition={partition}\n")
+        if extra:
+            fh.write(f"#SBATCH {extra}\n")
         fh.write("set -e\n")
         fh.write(
             f"{shlex.quote(sys.executable)} -m spades_tpu.pipeline.main "

@@ -26,6 +26,55 @@ TEST_DATASET_DIR = "/root/reference/src/projects/spades/test_dataset"
 
 MODES = ("isolate", "multicell", "meta", "rna", "plasmid", "metaplasmid", "sc", "metaviral", "rnaviral", "corona", "bio", "sewage")
 
+# numbered library options (options_parser.py:198-320: --pe<#>-1 .. --s<#>),
+# up to 9 libraries per kind with per-library orientation suffixes
+_NUMBERED_RE = None
+
+
+def _numbered_re():
+    global _NUMBERED_RE
+    if _NUMBERED_RE is None:
+        import re
+
+        _NUMBERED_RE = re.compile(
+            r"^--(pe|mp|hqmp)([1-9])-(1|2|12|s|m|fr|rf|ff)$|^--s([1-9])$"
+        )
+    return _NUMBERED_RE
+
+
+def extract_numbered_libs(argv: list[str]):
+    """Split numbered library options out of argv.
+
+    Returns (remaining_argv, libs) with libs = {(kind, num): {slot: [files],
+    "orientation": str}}.  Mirrors the reference's per-library option family
+    (`--pe1-1 a.fq --pe1-2 b.fq --pe1-fr --mp2-12 c.fq --s3 d.fq ...`)."""
+    rx = _numbered_re()
+    rest: list[str] = []
+    libs: dict = {}
+    i = 0
+    while i < len(argv):
+        m = rx.match(argv[i])
+        if not m:
+            rest.append(argv[i])
+            i += 1
+            continue
+        if m.group(4):                      # --s<#>
+            key = ("single", int(m.group(4)))
+            slot = "s"
+        else:
+            key = (m.group(1), int(m.group(2)))
+            slot = m.group(3)
+        lib = libs.setdefault(key, {"orientation": ""})
+        if slot in ("fr", "rf", "ff"):
+            lib["orientation"] = slot
+            i += 1
+            continue
+        if i + 1 >= len(argv):
+            raise SystemExit(f"error: {argv[i]} requires a file argument")
+        lib.setdefault(slot, []).append(argv[i + 1])
+        i += 2
+    return rest, libs
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -44,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     inp.add_argument("--merged", action="append", default=[], help="merged overlapping paired reads")
     inp.add_argument("--pacbio", action="append", default=[], help="PacBio CLR reads")
     inp.add_argument("--nanopore", action="append", default=[], help="Oxford Nanopore reads")
+    inp.add_argument("--sanger", action="append", default=[], help="Sanger reads (treated as accurate long reads)")
+    inp.add_argument("--fl-rna", dest="fl_rna", action="append", default=[],
+                     help="full-length transcripts (rna mode: trusted transcript paths)")
     inp.add_argument("--trusted-contigs", action="append", default=[], help="trusted contigs")
     inp.add_argument("--untrusted-contigs", action="append", default=[], help="untrusted contigs")
     inp.add_argument("--dataset", help="dataset description in YAML")
@@ -82,6 +134,31 @@ def build_parser() -> argparse.ArgumentParser:
     adv.add_argument("--disable-gzip-output", action="store_true")
     adv.add_argument("--time-tracing", action="store_true", help="write a Chrome-trace spades_time_trace.json (TimeTracerRAII analog)")
     adv.add_argument("--grid-engine", default=None, choices=("slurm", "save_yaml"), help="emit a batch-system submission script instead of executor choice")
+    adv.add_argument("--grid-queue", default=None, help="batch queue/partition for --grid-engine")
+    adv.add_argument("--grid-time", default=None, help="wall-time limit for --grid-engine")
+    adv.add_argument("--grid-nnodes", type=int, default=1, help="node count for --grid-engine")
+    adv.add_argument("--grid-extra", default=None, help="extra scheduler directives for --grid-engine")
+    adv.add_argument("--tmp-dir", default=None, help="directory for temporary files")
+    adv.add_argument("--disable-rr", action="store_true",
+                     help="skip repeat resolution: output simplified graph edges as contigs")
+    adv.add_argument("--stop-after", default=None, metavar="CP",
+                     help="stop after checkpoint: 'ec', 'as', or 'k<K>'")
+    adv.add_argument("--gfa11", action="store_true",
+                     help="write assembly_graph_with_scaffolds.gfa as GFA v1.1 (no jump links)")
+    adv.add_argument("--save-gp", action="store_true",
+                     help="save the full graph pack at every stage (checkpoints=all)")
+    adv.add_argument("--mismatch-correction", dest="mismatch_correction", action="store_true",
+                     help="run post-assembly mismatch correction (implied by --careful)")
+    adv.add_argument("--read-cov-threshold", type=float, default=None, metavar="C",
+                     help="drop reads whose median k-mer coverage is below C before assembly")
+    adv.add_argument("--read-buffer-size", type=int, default=None, help="accepted for parity (reads are streamed in device-sized batches regardless)")
+    adv.add_argument("--large-genome", action="store_true", help="accepted for parity (sharded counting engages automatically)")
+    adv.add_argument("--configs-dir", default=None, help="accepted for parity (per-mode configs are dataclasses here)")
+    adv.add_argument("--debug", action="store_true", help="verbose (DEBUG) logging")
+    adv.add_argument("--no-clear-after", action="store_true", help="keep per-K intermediate files (they are kept by default; accepted for parity)")
+    adv.add_argument("--only-generate-config", action="store_true",
+                     help="write run_spades.yaml/run_spades.sh and exit without assembling")
+    adv.add_argument("--hidden-cov-cutoff", dest="hidden_cov_cutoff", default=None, help=argparse.SUPPRESS)
     adv.add_argument("-v", "--version", action="version", version="spades_tpu 0.1.0")
     return p
 
@@ -108,7 +185,9 @@ def setup_logging(output_dir: str) -> None:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    raw_argv = list(argv if argv is not None else sys.argv[1:])
+    clean_argv, numbered = extract_numbered_libs(raw_argv)
+    args = build_parser().parse_args(clean_argv)
     # The container's sitecustomize pins jax_platforms to the axon TPU backend
     # after interpreter start, which silently overrides a JAX_PLATFORMS env
     # var; re-assert the caller's choice (--platform wins over the env var).
@@ -127,12 +206,19 @@ def main(argv=None) -> int:
         print("error: the output directory (-o) is required", file=sys.stderr)
         return 64  # InvalidInputFormat family (support.py:39-59)
     if not (args.pe1 or args.single or args.interlaced or args.mp1
-            or args.merged or args.dataset or args.assembly_graph):
+            or args.merged or args.dataset or args.assembly_graph or numbered):
         print("error: no input reads specified", file=sys.stderr)
         return 64
+    if args.tmp_dir:
+        import tempfile
+
+        os.makedirs(args.tmp_dir, exist_ok=True)
+        tempfile.tempdir = args.tmp_dir
 
     setup_logging(args.output_dir)
     log = logging.getLogger("spades_tpu")
+    if args.debug:
+        logging.getLogger().setLevel(logging.DEBUG)
     if args.time_tracing:
         from ..utils import timetracer
 
@@ -147,7 +233,7 @@ def main(argv=None) -> int:
     log.info("spades_tpu 0.1.0, mode=%s, output=%s", mode, args.output_dir)
 
     with open(os.path.join(args.output_dir, "params.txt"), "w") as fh:
-        fh.write(" ".join(argv if argv is not None else sys.argv) + "\n")
+        fh.write(" ".join(raw_argv) + "\n")
         fh.write(f"mode={mode}\n")
 
     from ..io.fastx import read_fastx
@@ -196,6 +282,45 @@ def main(argv=None) -> int:
         dataset.libraries.append(SequencingLibrary(type="pacbio", left=_seqs(p)))
     for p in args.nanopore:
         dataset.libraries.append(SequencingLibrary(type="nanopore", left=_seqs(p)))
+    for p in args.sanger:
+        dataset.libraries.append(SequencingLibrary(type="sanger", left=_seqs(p)))
+    for p in args.fl_rna:
+        dataset.libraries.append(SequencingLibrary(type="fl-rna", left=_seqs(p)))
+    _KIND2TYPE = {"pe": "paired-end", "mp": "mate-pairs", "hqmp": "hq-mate-pairs",
+                  "single": "single"}
+    for (kind, num) in sorted(numbered):
+        spec = numbered[(kind, num)]
+        lt = _KIND2TYPE[kind]
+        lib = SequencingLibrary(type=lt, orientation=spec.get("orientation", ""))
+        for f in spec.get("1", []):
+            rs, qs = _seqs_quals(f)
+            lib.left += rs
+            lib.left_quals += qs
+        for f in spec.get("2", []):
+            rs, qs = _seqs_quals(f)
+            lib.right += rs
+            lib.right_quals += qs
+        for f in spec.get("12", []):
+            rs, qs = _seqs_quals(f)
+            lib.left += rs[0::2]
+            lib.left_quals += qs[0::2]
+            lib.right += rs[1::2]
+            lib.right_quals += qs[1::2]
+        for f in spec.get("s", []) + spec.get("m", []):
+            if lt == "single":
+                rs, qs = _seqs_quals(f)
+                lib.left += rs
+                lib.left_quals += qs
+            else:
+                # unpaired/merged reads of a paired library become a single lib
+                rs, qs = _seqs_quals(f)
+                dataset.libraries.append(
+                    SequencingLibrary(type="single", left=rs, left_quals=qs))
+        if lib.is_paired and len(lib.left) != len(lib.right):
+            log.error("numbered library %s%d: mate count mismatch", kind, num)
+            return 64
+        if lib.left or lib.right:
+            dataset.libraries.append(lib)
     for p in args.trusted_contigs:
         dataset.libraries.append(SequencingLibrary(type="trusted-contigs", left=_seqs(p)))
     for p in args.untrusted_contigs:
@@ -261,7 +386,7 @@ def main(argv=None) -> int:
         singles = dataset.singles()
         if singles:
             write_fasta(os.path.join(cdir, "unpaired.cor.fasta"), [(f"read{i+1}", r) for i, r in enumerate(singles)])
-        if args.only_error_correction:
+        if args.only_error_correction or args.stop_after == "ec":
             log.info("======= spades_tpu finished (error correction only). Results in %s", cdir)
             return 0
     elif args.only_error_correction:
@@ -280,11 +405,31 @@ def main(argv=None) -> int:
         if bad:
             log.error("k values must be odd and < 128: %s", bad)
             return 65
+    if args.stop_after and args.stop_after.startswith("k"):
+        stop_k = int(args.stop_after[1:])
+        if stop_k in k_list:
+            k_list = k_list[: k_list.index(stop_k) + 1]
+            log.info("--stop-after %s: k ladder truncated", args.stop_after)
     log.info("read length=%d, k ladder=%s", rl, k_list)
 
+    if args.read_cov_threshold:
+        # read_cov_threshold (options_parser.py): drop reads whose median
+        # k-mer coverage is below the threshold before assembly
+        from ..ops.count import count_sequences
+        from ..tools.read_filter import read_median_coverage
+
+        fk = min(21, k_list[0])
+        kc = count_sequences(reads, fk)
+        med = read_median_coverage(reads, fk, kc)
+        keep = med >= args.read_cov_threshold
+        log.info("read coverage filter: %d/%d reads kept (threshold %.1f)",
+                 int(keep.sum()), len(reads), args.read_cov_threshold)
+        reads = [r for r, k_ in zip(reads, keep) if k_]
+
     cov_cutoff = 0
-    if args.cov_cutoff not in ("off", "auto"):
-        cov_cutoff = int(float(args.cov_cutoff))
+    cut_src = args.hidden_cov_cutoff or args.cov_cutoff
+    if cut_src not in ("off", "auto"):
+        cov_cutoff = int(float(cut_src))
 
     hmm_profiles = []
     for hf in args.custom_hmms:
@@ -305,10 +450,19 @@ def main(argv=None) -> int:
     dump_sh(os.path.join(args.output_dir, "run_spades.sh"), user_argv)
     if args.grid_engine == "slurm":
         sub = os.path.join(args.output_dir, "submit_spades.sh")
-        dump_slurm(sub, user_argv, threads=args.threads, memory_gb=args.memory)
+        dump_slurm(sub, user_argv, threads=args.threads, memory_gb=args.memory,
+                   partition=args.grid_queue,
+                   time_limit=args.grid_time or "24:00:00",
+                   nnodes=args.grid_nnodes, extra=args.grid_extra)
         log.info("SLURM submission script -> %s (submit with sbatch)", sub)
 
+    if args.only_generate_config:
+        log.info("======= config generated (run_spades.yaml/run_spades.sh); exiting")
+        return 0
+
     restart = "last" if args.cont else args.restart_from
+    if args.save_gp:
+        args.checkpoints = "all"
     result = run_assembly(
         reads=reads,
         k_list=k_list,
@@ -326,6 +480,10 @@ def main(argv=None) -> int:
         ss=args.ss,
         series_analysis=args.series_analysis,
         assembly_graph=args.assembly_graph,
+        disable_rr=args.disable_rr,
+        mismatch_correction=(args.careful or args.mismatch_correction)
+        if args.stop_after != "as" else False,
+        gfa_version="1.1" if args.gfa11 else "1.2",
     )
 
     # --- --test oracle (check_test_script.py:58-76) ---------------------

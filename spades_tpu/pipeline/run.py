@@ -85,7 +85,15 @@ def run_assembly(
     ss: str | None = None,
     series_analysis: str | None = None,
     assembly_graph: str | None = None,
+    disable_rr: bool = False,
+    mismatch_correction: bool | None = None,
+    gfa_version: str = "1.2",
 ) -> RunResult:
+    # --disable-rr / --mismatch-correction / --gfa11 CLI contract
+    # (options_parser.py: disable_rr skips repeat resolution entirely;
+    # mismatch-correction forces the corrector even outside --careful)
+    if mismatch_correction is None:
+        mismatch_correction = careful
     os.makedirs(output_dir, exist_ok=True)
     prev_contigs: list[str] = list(trusted_contigs or [])
     result: RunResult | None = None
@@ -158,11 +166,12 @@ def run_assembly(
         if is_last and mode in ("metaplasmid", "metaviral"):
             # iterative coverage-cutoff extraction loop (AddMetaplasmidStages)
             mgr.add(MetaplasmidExtraction())
-        if is_last and careful:
-            # careful mode polishes edge sequences before output
-            # (pipeline.cpp gates MismatchCorrection on cfg.correct_mismatches)
+        if is_last and mismatch_correction:
+            # careful mode (or --mismatch-correction) polishes edge
+            # sequences before output (pipeline.cpp gates MismatchCorrection
+            # on cfg.correct_mismatches)
             mgr.add(MismatchCorrection())
-        if is_last and mode == "meta" and paired_libs:
+        if is_last and mode == "meta" and paired_libs and not disable_rr:
             # two-step repeat resolution (pipeline.cpp:139-151): preliminary
             # RR feeds its contigs back as trusted paths for the main pass
             mgr.add(
@@ -171,7 +180,7 @@ def run_assembly(
                 RepeatResolution(preliminary=True),
                 SecondPhaseSetup(),
             )
-        if is_last:
+        if is_last and not disable_rr:
             # repeat resolution runs on the main (last) iteration only
             # (pipeline.cpp: RepeatResolution gated on main_iteration,
             # preceded by PairInfoCount + DistanceEstimation)
@@ -179,7 +188,7 @@ def run_assembly(
         if is_last and (hmm_profiles or mode in ("bio", "corona")):
             # domain extraction / HMM-guided analysis (bgc + corona modes)
             mgr.add(DomainAnalysis())
-        mgr.add(ContigOutput())
+        mgr.add(ContigOutput(gfa_version=gfa_version))
         start = None
         if restart_from == "last":
             start = "last"

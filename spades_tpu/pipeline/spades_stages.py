@@ -434,8 +434,9 @@ class ContigOutput(AssemblyStage):
     name = "Contig Output"
     id = "contig_output"
 
-    def __init__(self, out_prefix: str = ""):
+    def __init__(self, out_prefix: str = "", gfa_version: str = "1.2"):
         self.out_prefix = out_prefix
+        self.gfa_version = gfa_version
 
     def run(self, ctx: AssemblyContext) -> None:
         from ..io.fastg import write_fastg
@@ -460,7 +461,7 @@ class ContigOutput(AssemblyStage):
             os.path.join(d, "assembly_graph_with_scaffolds.gfa"),
             ctx.graph,
             scaffold_paths=ctx.scaffold_paths,
-            version="1.2",
+            version=self.gfa_version,
         )
         write_fastg(os.path.join(d, "assembly_graph.fastg"), ctx.graph)
         if ctx.contig_paths:
