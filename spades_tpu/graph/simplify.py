@@ -243,36 +243,11 @@ def _bounded_shortest_path(
     """Dijkstra bounded by path length (k-mer units), excluding skip_edge and
     its conjugate.  Returns the edge list of the shortest path or None.
 
-    Pure-Python fallback mirror of native/bulge.cpp (the bounded Dijkstra of
-    `dijkstra/dijkstra_algorithm.hpp`)."""
-    import heapq
+    Fallback mirror of native/bulge.cpp via the vectorized bounded-Dijkstra
+    framework (`graph/dijkstra.py`, the `dijkstra_algorithm.hpp` analog)."""
+    from .dijkstra import shortest_path as _sp
 
-    off, eo = csr
-    skip = {skip_edge, int(g.e_conj[skip_edge])}
-    dist: dict[int, int] = {v_from: 0}
-    back: dict[int, tuple[int, int]] = {}
-    heap = [(0, v_from)]
-    while heap:
-        d, v = heapq.heappop(heap)
-        if v == v_to:
-            path = []
-            while v != v_from:
-                e, v = back[v]
-                path.append(e)
-            return path[::-1]
-        if d > dist.get(v, np.inf) or d > max_len:
-            continue
-        for e in eo[off[v] : off[v + 1]]:
-            e = int(e)
-            if e in skip or not g.alive[e]:
-                continue
-            u = int(g.e_end[e])
-            nd = d + int(lens[e])
-            if nd <= max_len and nd < dist.get(u, np.inf):
-                dist[u] = nd
-                back[u] = (e, v)
-                heapq.heappush(heap, (nd, u))
-    return None
+    return _sp(g, v_from, v_to, max_len, length="kmer", skip_edges=(skip_edge,))
 
 
 def remove_bulges_dijkstra(g: CondensedGraph, cfg: SimplifyConfig) -> int:

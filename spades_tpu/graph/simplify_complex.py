@@ -204,25 +204,18 @@ def _plausible_path_exists(
     g: CondensedGraph, v_from: int, v_to: int, avoid: set[int],
     plausibility_length: int, max_hops: int = 8,
 ) -> bool:
-    """Bounded DFS over plausible (long) edges from v_from to v_to."""
+    """Bounded hop search over plausible (long) edges from v_from to v_to,
+    via the vectorized Dijkstra framework (unit lengths = hop counting)."""
+    if v_from == v_to:
+        return True
+    from .dijkstra import bounded_dijkstra
+
     lens = g.edge_kmer_lengths()
-    stack = [(v_from, 0)]
-    seen = {v_from}
-    while stack:
-        v, hops = stack.pop()
-        if v == v_to:
-            return True
-        if hops >= max_hops:
-            continue
-        for e in g.out_edges_of(v):
-            e = int(e)
-            if e in avoid or lens[e] < plausibility_length:
-                continue
-            t = int(g.e_end[e])
-            if t not in seen:
-                seen.add(t)
-                stack.append((t, hops + 1))
-    return False
+    mask = g.alive & (lens >= plausibility_length)
+    if avoid:
+        mask[list(avoid)] = False
+    res = bounded_dijkstra(g, [v_from], max_hops, length="unit", edge_mask=mask)
+    return bool(np.isin(v_to, res.vertices))
 
 
 def max_flow_ec_remover(
