@@ -104,10 +104,63 @@ def main() -> None:
                 "value": round(kmers_per_sec / 1e6, 1),
                 "unit": "Mkmers/s/chip",
                 "vs_baseline": round(kmers_per_sec / BASELINE_KMERS_PER_SEC, 2),
-                "extra": bench_simplify(),
+                "extra": {
+                    **bench_simplify(),
+                    **bench_condense(),
+                    **speed_of_light(kmers_per_sec),
+                },
             }
         )
     )
+
+
+def speed_of_light(kmers_per_sec: float) -> dict:
+    """Roofline statement for the counting step (SURVEY BASELINE asks for a
+    speed-of-light account).  HBM traffic per k-mer: read the 2-bit codes
+    (~1 B amortized across overlapping windows), write both sorted uint32
+    words + run-start flags and read them back once for the dedup pass
+    (3 x W x 4 B for W=2 words at k=21, + 1 B flags).  The 512-row tile sort
+    itself is VMEM-resident, so the kernel is bounded by the bitonic
+    compare-exchange network (~log2(512)^2 = 81 passes over W lanes) on the
+    VPU, not by HBM."""
+    hbm_bytes_per_kmer = 1 + 3 * 2 * 4 + 1
+    implied_gbps = kmers_per_sec * hbm_bytes_per_kmer / 1e9
+    return {
+        "sol_hbm_bytes_per_kmer": hbm_bytes_per_kmer,
+        "sol_implied_hbm_gbps": round(implied_gbps, 1),
+        "sol_note": "VMEM-resident tile sort: compute-bound on the sort "
+                    "network, HBM side uses the fraction above of ~819 GB/s (v5e)",
+    }
+
+
+def bench_condense() -> dict:
+    """Condensation throughput: extension index -> condensed conjugate graph
+    (the reference's parallel condensers, `construction.cpp` phase 3-4) on a
+    2 Mnt random genome at k=55 — a ~2M-node chain, the worst case for the
+    Wyllie list-ranking rounds.  Unit: input k-mers per second of condense()
+    wall time (index build and counting excluded)."""
+    import time
+
+    import numpy as np
+
+    from spades_tpu.core import dna
+    from spades_tpu.ops.condense import condense
+    from spades_tpu.ops.count import count_sequences
+    from spades_tpu.ops.extension import build_extension_index
+
+    rng = np.random.default_rng(3)
+    genome = dna.decode(rng.integers(0, 4, 2_000_000).astype(np.uint8))
+    kk = 55
+    p1 = count_sequences([genome], kk + 1)
+    index = build_extension_index(p1)
+    t0 = time.perf_counter()
+    g = condense(index, p1)
+    dt = time.perf_counter() - t0
+    return {
+        "condense_2M_kmers_per_s": round(index.num_kmers / dt, 0),
+        "condense_2M_wall_s": round(dt, 2),
+        "condense_2M_edges": int(g.num_edges),
+    }
 
 
 def bench_simplify() -> dict:

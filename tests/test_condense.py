@@ -136,3 +136,22 @@ def test_empty_and_tiny_inputs():
     assert g.num_edges == 0
     g = construct_graph([], 21).graph
     assert g.num_edges == 0
+
+
+class TestDeviceRanking:
+    def test_device_and_numpy_ranking_agree(self, rng, monkeypatch):
+        """The jitted pointer-doubling program and the numpy fallback must
+        produce identical graphs, including on inputs with perfect cycles."""
+        genome = random_dna(rng, 3000)
+        cyc = random_dna(rng, 300)
+        seqs = [genome, cyc + cyc + cyc[:60]]  # linear chain + perfect cycle
+        monkeypatch.setenv("SPADES_TPU_DEVICE_RANK", "always")
+        g_dev = construct_graph(seqs, 21).graph
+        monkeypatch.setenv("SPADES_TPU_DEVICE_RANK", "never")
+        g_np = construct_graph(seqs, 21).graph
+        assert g_dev.num_edges == g_np.num_edges
+        assert np.array_equal(np.sort(g_dev.e_len), np.sort(g_np.e_len))
+        sd = sorted(g_dev.edge_seq(int(e)) for e in g_dev.alive_edge_ids())
+        sn = sorted(g_np.edge_seq(int(e)) for e in g_np.alive_edge_ids())
+        assert sd == sn
+        g_dev.check_invariants()
