@@ -164,6 +164,33 @@ class CondensedGraph:
         self.seq_pool = np.concatenate([self.seq_pool, codes, rc])
         return e, e + 1
 
+    def add_vertex_pair(self) -> tuple[int, int]:
+        """Append a fresh conjugate vertex pair (graph_core AddVertex)."""
+        v = self.num_vertices
+        self.v_conj = np.append(self.v_conj, [v + 1, v])
+        return v, v + 1
+
+    def split_edge(self, e: int, pos: int) -> tuple[int, int]:
+        """Split edge e at k-mer offset pos (graph_core SplitEdge semantics):
+        a new conjugate vertex pair appears in the middle, the two halves
+        share the k-overlap, coverage splits proportionally, and the old
+        edge (plus conjugate) dies.  Returns (first_half, second_half)."""
+        e = int(e)
+        assert self.alive[e] and e != int(self.e_conj[e]), "cannot split self-conj"
+        kl = int(self.e_len[e]) - self.k
+        assert 0 < pos < kl, (pos, kl)
+        codes = self.edge_codes(e)
+        first = codes[: pos + self.k]
+        second = codes[pos:]
+        v, _vc = self.add_vertex_pair()
+        frac = pos / kl
+        c1 = float(self.e_cov[e]) * frac
+        c2 = float(self.e_cov[e]) - c1
+        a, _ = self.add_edge_pair(int(self.e_start[e]), v, first, c1)
+        b, _ = self.add_edge_pair(v, int(self.e_end[e]), second, c2)
+        self.kill_edges(np.array([e]))
+        return a, b
+
     def alive_edge_ids(self) -> np.ndarray:
         return np.flatnonzero(self.alive)
 

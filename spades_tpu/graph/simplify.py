@@ -446,12 +446,21 @@ def simplify(
     if cfg.cbr_enabled or cfg.complex_tc_enabled or cfg.mfec_enabled:
         from .simplify_complex import (
             clip_complex_tips, collapse_superbubbles, max_flow_ec_remover,
+            remove_complex_bulges,
         )
 
         n = 0
         if cfg.cbr_enabled:
             n += collapse_superbubbles(
                 g, max_length=int(5.0 * k + cfg.max_additive_length_coeff)
+            )
+            # dominated multi-exit components the superbubble pass cannot
+            # close (complex_bulge_remover.hpp full machinery)
+            n += remove_complex_bulges(
+                g,
+                max_length=int(5.0 * k + cfg.max_additive_length_coeff),
+                length_diff=int(cfg.max_delta),
+                kmer_mapper=kmer_mapper,
             )
             stats.bulges += n
         if cfg.complex_tc_enabled:

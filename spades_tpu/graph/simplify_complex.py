@@ -242,3 +242,212 @@ def max_flow_ec_remover(
         if _plausible_path_exists(g, s, t, avoid, plausibility_length):
             removed += g.kill_edges(np.array([e]))
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Dominated-component complex bulge removal (the full machinery)
+
+
+def _dominated_component(
+    g: CondensedGraph, start: int, max_length: int, length_diff: int,
+    max_count: int = 128,
+) -> tuple[set[int], dict[int, int]] | None:
+    """Grow a dominated multi-exit component from `start`.
+
+    LocalizedComponentFinder analog (`complex_bulge_remover.hpp`): a vertex
+    joins when every in-edge starts inside; its min/max path length from
+    start must agree within length_diff (the reference's length-consistency
+    requirement) and stay under max_length.  Unlike the superbubble finder
+    the component may have MANY exits.  Returns (vertices, min-dist map) or
+    None when nothing beyond the trivial set was dominated."""
+    lens = g.edge_kmer_lengths()
+    inside = {start}
+    dmin: dict[int, int] = {start: 0}
+    dmax: dict[int, int] = {start: 0}
+    frontier = [start]
+    while frontier:
+        grew = False
+        # candidates: heads of edges out of the component
+        cand: dict[int, list[int]] = {}
+        for v in inside:
+            for e in g.out_edges_of(v):
+                u = int(g.e_end[int(e)])
+                if u not in inside:
+                    cand.setdefault(u, []).append(int(e))
+        for u, _es in cand.items():
+            ins = [int(e) for e in g.in_edges_of(u)]
+            if not ins or any(int(g.e_start[e]) not in inside for e in ins):
+                continue          # not dominated (an outside path reaches u)
+            if u == start or int(g.v_conj[u]) in inside:
+                return None       # cycle back / conjugate self-overlap
+            lo = min(dmin[int(g.e_start[e])] + int(lens[e]) for e in ins)
+            hi = max(dmax[int(g.e_start[e])] + int(lens[e]) for e in ins)
+            if hi > max_length or hi - lo > length_diff:
+                continue          # length-inconsistent: leave u outside
+            inside.add(u)
+            dmin[u], dmax[u] = lo, hi
+            grew = True
+            if len(inside) > max_count:
+                return None
+        if not grew:
+            break
+    if len(inside) < 3:
+        return None
+    return inside, dmin
+
+
+def _find_skeleton_and_project(
+    g: CondensedGraph, inside: set[int], start: int, length_diff: int,
+) -> list[tuple[int, int]] | None:
+    """SkeletonTree + ComponentProjector analog (complex_bulge_remover.hpp
+    732-812): vertices get heights (distance from the entrance); component
+    end vertices get color bits and every vertex is colored by the set of
+    ends it reaches; inner edges spanning intermediate levels are SPLIT at
+    each level (the reference's SplitComponent, via graph.split_edge); the
+    skeleton tree is the union of heaviest entrance->end paths; every
+    non-tree inner edge must project onto a color-superset tree edge at the
+    same heights (within length_diff).  MUTATES g (edge splits).  Returns
+    [(edge, tree_edge)] projections, or None if any edge fails (splits are
+    benign: they only refine the graph without changing spelled paths)."""
+    lens = g.edge_kmer_lengths()
+
+    def inner_edges():
+        out = []
+        for u in inside:
+            for e in g.out_edges_of(u):
+                if int(g.e_end[int(e)]) in inside:
+                    out.append(int(e))
+        return out
+
+    # heights by forward topological order
+    height = {start: 0}
+    pending = set(inside) - {start}
+    while pending:
+        progressed = False
+        for u in list(pending):
+            ins = [int(e) for e in g.in_edges_of(u)]
+            if all(int(g.e_start[e]) in height for e in ins):
+                height[u] = max(
+                    height[int(g.e_start[e])] + int(lens[e]) for e in ins
+                )
+                pending.discard(u)
+                progressed = True
+        if not progressed:
+            return None               # not a DAG inside (shouldn't happen)
+    # ends: no out-edge staying inside
+    ends = [
+        u for u in inside
+        if not any(int(g.e_end[int(e)]) in inside for e in g.out_edges_of(u))
+    ]
+    if not ends or len(ends) > 16:
+        return None
+    end_bit = {u: 1 << i for i, u in enumerate(ends)}
+    color = {u: end_bit.get(u, 0) for u in inside}
+    for u in sorted(inside, key=lambda v: -height[v]):
+        for e in g.out_edges_of(u):
+            w = int(g.e_end[int(e)])
+            if w in inside:
+                color[u] |= color[w]
+
+    # --- SplitComponent: split inner edges at intermediate level heights ---
+    levels = sorted(set(height.values()))
+    for e in inner_edges():
+        hu, hw = height[int(g.e_start[e])], height[int(g.e_end[e])]
+        spans = [L for L in levels if hu < L < hw]
+        if not spans:
+            continue
+        if e == int(g.e_conj[e]):
+            return None
+        cur, off = e, hu
+        wcol = color[int(g.e_end[e])]
+        for L in spans:
+            pos = L - off
+            kl = int(g.e_len[cur]) - g.k
+            if pos <= 0 or pos >= kl:
+                return None           # level falls outside the edge: reject
+            a, b = g.split_edge(cur, pos)
+            v = int(g.e_end[a])
+            inside.add(v)
+            height[v] = L
+            color[v] = wcol
+            cur, off = b, L
+    lens = g.edge_kmer_lengths()      # splits appended edges
+
+    # --- skeleton tree: heaviest path from the entrance to every end ------
+    tree: set[int] = set()
+    for u in ends:
+        v = u
+        while v != start:
+            ins = [
+                int(e) for e in g.in_edges_of(v) if int(g.e_start[e]) in inside
+            ]
+            if not ins:
+                return None
+            e = max(ins, key=lambda x: (float(g.e_cov[x]), -x))
+            tree.add(e)
+            v = int(g.e_start[e])
+
+    # --- project non-tree inner edges onto level/color-compatible tree ----
+    tlist = sorted(tree)
+    projections: list[tuple[int, int]] = []
+    for e in inner_edges():
+        if e in tree:
+            continue
+        u, w = int(g.e_start[e]), int(g.e_end[e])
+        ecol = color[w]
+        tgt = -1
+        for t in tlist:
+            ts, tw = int(g.e_start[t]), int(g.e_end[t])
+            if (
+                abs(height[ts] - height[u]) <= length_diff
+                and abs(height[tw] - height[w]) <= length_diff
+                and (color[tw] & ecol) == ecol
+            ):
+                tgt = t
+                break
+        if tgt < 0:
+            return None
+        projections.append((e, tgt))
+    return projections or None
+
+
+def remove_complex_bulges(
+    g: CondensedGraph,
+    max_length: int = 1000,
+    length_diff: int = 5,
+    max_count: int = 128,
+    kmer_mapper=None,
+) -> int:
+    """Full complex bulge removal: dominated component -> skeleton tree ->
+    project non-tree edges onto their tree paths.
+
+    ComplexBulgeRemover analog (`complex_bulge_remover.hpp:1081-1214`,
+    LocalizedComponentFinder + SkeletonTree + ComponentProjector): grow a
+    dominated multi-exit component, split level-spanning edges, build the
+    heaviest entrance->ends skeleton tree, and project every non-tree inner
+    edge onto a same-level color-superset tree edge — its coverage moves to
+    the tree edge and the edge (plus conjugate) is deleted.  A component
+    with any unprojectable inner edge is left untouched (the reference's
+    ProjectComponent failure)."""
+    removed = 0
+    out_deg = g.out_degrees()
+    for start in np.flatnonzero(out_deg >= 2):
+        start = int(start)
+        if start >= g.num_vertices or (g.alive & (g.e_start == start)).sum() < 2:
+            continue
+        comp = _dominated_component(g, start, max_length, length_diff, max_count)
+        if comp is None:
+            continue
+        inside, _dmin = comp
+        projections = _find_skeleton_and_project(g, inside, start, length_diff)
+        if not projections:
+            continue
+        for e, t in projections:
+            c = float(g.e_cov[e])
+            g.e_cov[t] += c
+            g.e_cov[int(g.e_conj[t])] += c
+            if kmer_mapper is not None:
+                kmer_mapper.remap_sequences(g.edge_codes(e), g.edge_codes(t))
+        removed += g.kill_edges(np.array([e for e, _ in projections]))
+        out_deg = g.out_degrees()
+    return removed

@@ -139,3 +139,64 @@ class TestMaxFlowEC:
                                 plausibility_length=200)
         assert n == 0
         assert g.alive[e_bad]
+
+
+class TestDominatedComplexBulge:
+    def _build(self, rng):
+        from tests.conftest import random_dna
+
+        P, Q, T = random_dna(rng, 300), random_dna(rng, 300), random_dna(rng, 400)
+        A, B = random_dna(rng, 80), random_dna(rng, 90)
+        C = random_dna(rng, 170)          # |C| = |A| + |B|: level-consistent
+        seqs = [P + A + B + Q] * 3 + [P + C + Q] + [P + A + T] * 2
+        from spades_tpu.pipeline.construction import construct_graph
+
+        return construct_graph(seqs, 21).graph, (P, A, B, Q, T, C)
+
+    def test_multi_exit_component_projected(self, rng):
+        from spades_tpu.graph.simplify_complex import (
+            collapse_superbubbles,
+            remove_complex_bulges,
+        )
+
+        g, (P, A, B, Q, T, C) = self._build(rng)
+        e0 = g.num_edges
+        # the superbubble pass cannot close this component: the inner
+        # branch vertex has an exit (the T path)
+        assert collapse_superbubbles(g, max_length=205) == 0
+        n = remove_complex_bulges(g, max_length=205, length_diff=5)
+        assert n > 0
+        g.check_invariants()
+        # the C arm is gone: its middle is no longer spelled anywhere
+        probe = C[80:120]
+        rc = {e: g.edge_seq(int(e)) for e in g.alive_edge_ids()}
+        assert not any(probe in s for s in rc.values())
+        # the surviving arm and the T branch still spell their genomes
+        from spades_tpu.core import dna as _dna
+
+        def spelled(sub):
+            return any(
+                sub in s or sub in _dna.revcomp_str(s) for s in rc.values()
+            )
+
+        # probes inside single edges (junction-crossing substrings span the
+        # k-overlap and never live in one edge sequence)
+        assert spelled(A[10:70])
+        assert spelled(B[10:80])
+        assert spelled(T[50:150])
+
+    def test_rejects_length_inconsistent_arm(self, rng):
+        from tests.conftest import random_dna
+
+        from spades_tpu.graph.simplify_complex import remove_complex_bulges
+        from spades_tpu.pipeline.construction import construct_graph
+
+        P, Q, T = random_dna(rng, 300), random_dna(rng, 300), random_dna(rng, 400)
+        A, B = random_dna(rng, 80), random_dna(rng, 90)
+        C = random_dna(rng, 120)          # 50 nt shorter: NOT projectable
+        seqs = [P + A + B + Q] * 3 + [P + C + Q] + [P + A + T] * 2
+        g = construct_graph(seqs, 21).graph
+        e0 = g.num_edges
+        n = remove_complex_bulges(g, max_length=205, length_diff=5)
+        assert n == 0
+        assert g.num_edges == e0
