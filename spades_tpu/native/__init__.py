@@ -24,6 +24,36 @@ _lib = None
 _tried = False
 
 
+class _StbrExt(ctypes.Structure):
+    _fields_ = [
+        ("U", ctypes.c_int64),
+        ("kmers", ctypes.POINTER(ctypes.c_uint32)),
+        ("in_mask", ctypes.POINTER(ctypes.c_uint8)),
+        ("out_mask", ctypes.POINTER(ctypes.c_uint8)),
+        ("pref_idx", ctypes.POINTER(ctypes.c_int64)),
+        ("suf_idx", ctypes.POINTER(ctypes.c_int64)),
+        ("pref_rc", ctypes.POINTER(ctypes.c_uint8)),
+        ("suf_rc", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
+class _StbrGraph(ctypes.Structure):
+    _fields_ = [
+        ("E", ctypes.c_int64),
+        ("V", ctypes.c_int64),
+        ("pool", ctypes.c_int64),
+        ("e_start", ctypes.POINTER(ctypes.c_int64)),
+        ("e_end", ctypes.POINTER(ctypes.c_int64)),
+        ("e_conj", ctypes.POINTER(ctypes.c_int64)),
+        ("e_off", ctypes.POINTER(ctypes.c_int64)),
+        ("e_len", ctypes.POINTER(ctypes.c_int64)),
+        ("e_cov", ctypes.POINTER(ctypes.c_double)),
+        ("seq_pool", ctypes.POINTER(ctypes.c_uint8)),
+        ("v_conj", ctypes.POINTER(ctypes.c_int64)),
+        ("error", ctypes.c_int32),
+    ]
+
+
 class _StbrReads(ctypes.Structure):
     _fields_ = [
         ("seq", ctypes.POINTER(ctypes.c_uint8)),
@@ -90,10 +120,175 @@ def lib():
             ctypes.c_double,
             ctypes.c_double,
         ]
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        pu32 = ctypes.POINTER(ctypes.c_uint32)
+        pu8 = ctypes.POINTER(ctypes.c_uint8)
+        l.stbr_build_ext.restype = ctypes.POINTER(_StbrExt)
+        l.stbr_build_ext.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, pu32,
+        ]
+        l.stbr_free_ext.argtypes = [ctypes.POINTER(_StbrExt)]
+        l.stbr_condense.restype = ctypes.POINTER(_StbrGraph)
+        l.stbr_condense.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            pu32, pu8, pu8,
+            ctypes.c_int64, ctypes.c_int32, pu32, p64,
+            p64, pu8, p64, pu8,
+        ]
+        l.stbr_free_graph.argtypes = [ctypes.POINTER(_StbrGraph)]
+        l.stbr_lookup_rows.restype = ctypes.c_int64
+        l.stbr_lookup_rows.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, pu32, ctypes.c_int64, pu32, p64,
+        ]
         _lib = l
     except (OSError, AttributeError) as e:
         log.debug("native load failed: %s", e)
     return _lib
+
+
+def _arr(ptr, shape, dtype):
+    return np.ctypeslib.as_array(ptr, shape=shape).copy().astype(dtype, copy=False)
+
+
+def build_ext_native(p1_words: np.ndarray, k: int):
+    """Extension-index build with inverse indices (native).
+
+    p1_words: (P, W1) uint32 unique canonical (k+1)-mers.  Returns
+    (kmers (U, W), in_mask, out_mask, pref_idx, pref_rc, suf_idx, suf_rc)
+    or None when the native library is unavailable.  Mirror of
+    `BuildExtensionIndexFromKPOMers`
+    (`/root/reference/src/common/kmer_index/extension_index/
+    kmer_extension_index_builder.hpp:83-108`)."""
+    l = lib()
+    if l is None or not hasattr(l, "stbr_build_ext"):
+        return None
+    p1_words = np.ascontiguousarray(p1_words, np.uint32)
+    P, W1 = p1_words.shape
+    ep = l.stbr_build_ext(
+        np.int64(P), np.int32(W1), np.int32(k),
+        p1_words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if not ep:
+        return None
+    try:
+        e = ep.contents
+        U = int(e.U)
+        W = (k + 15) // 16
+        if U == 0:
+            z = np.zeros(0, np.int64)
+            zb = np.zeros(0, np.uint8)
+            return (np.zeros((0, W), np.uint32), zb.copy(), zb.copy(),
+                    z.copy(), zb.copy(), z.copy(), zb.copy())
+        kmers = _arr(e.kmers, (U, W), np.uint32)
+        in_mask = _arr(e.in_mask, (U,), np.uint8)
+        out_mask = _arr(e.out_mask, (U,), np.uint8)
+        if P:
+            pref_idx = _arr(e.pref_idx, (P,), np.int64)
+            suf_idx = _arr(e.suf_idx, (P,), np.int64)
+            pref_rc = _arr(e.pref_rc, (P,), np.uint8)
+            suf_rc = _arr(e.suf_rc, (P,), np.uint8)
+        else:
+            pref_idx = suf_idx = np.zeros(0, np.int64)
+            pref_rc = suf_rc = np.zeros(0, np.uint8)
+        return kmers, in_mask, out_mask, pref_idx, pref_rc, suf_idx, suf_rc
+    finally:
+        l.stbr_free_ext(ep)
+
+
+def condense_native(
+    kmers: np.ndarray,
+    in_mask: np.ndarray,
+    out_mask: np.ndarray,
+    k: int,
+    p1_words: np.ndarray,
+    p1_counts: np.ndarray | None,
+    pref_idx: np.ndarray,
+    pref_rc: np.ndarray,
+    suf_idx: np.ndarray,
+    suf_rc: np.ndarray,
+):
+    """Condensation with zero lookups (native).
+
+    Returns the CondensedGraph column tuple or None when unavailable /
+    inconsistent.  Mirror of `UnbranchingPathExtractor` +
+    `FastGraphFromSequencesConstructor`
+    (`/root/reference/src/common/assembly_graph/construction/
+    debruijn_graph_constructor.hpp:184-574`)."""
+    l = lib()
+    if l is None or not hasattr(l, "stbr_condense"):
+        return None
+    kmers = np.ascontiguousarray(kmers, np.uint32)
+    p1_words = np.ascontiguousarray(p1_words, np.uint32)
+    U, W = kmers.shape
+    P, W1 = p1_words.shape
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    counts_ptr = (
+        np.ascontiguousarray(p1_counts, np.int64).ctypes.data_as(p64)
+        if p1_counts is not None
+        else ctypes.cast(None, p64)
+    )
+    gp = l.stbr_condense(
+        np.int64(U), np.int32(W), np.int32(k),
+        kmers.ctypes.data_as(pu32),
+        np.ascontiguousarray(in_mask, np.uint8).ctypes.data_as(pu8),
+        np.ascontiguousarray(out_mask, np.uint8).ctypes.data_as(pu8),
+        np.int64(P), np.int32(W1),
+        p1_words.ctypes.data_as(pu32),
+        counts_ptr,
+        np.ascontiguousarray(pref_idx, np.int64).ctypes.data_as(p64),
+        np.ascontiguousarray(pref_rc, np.uint8).ctypes.data_as(pu8),
+        np.ascontiguousarray(suf_idx, np.int64).ctypes.data_as(p64),
+        np.ascontiguousarray(suf_rc, np.uint8).ctypes.data_as(pu8),
+    )
+    if not gp:
+        return None
+    try:
+        g = gp.contents
+        if g.error != 0:
+            return None
+        E, V, pool = int(g.E), int(g.V), int(g.pool)
+        if E == 0:
+            z = np.zeros(0, np.int64)
+            return (z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
+                    np.zeros(0, np.float64), np.zeros(0, np.uint8),
+                    np.zeros(0, np.int64))
+        return (
+            _arr(g.e_start, (E,), np.int64),
+            _arr(g.e_end, (E,), np.int64),
+            _arr(g.e_conj, (E,), np.int64),
+            _arr(g.e_off, (E,), np.int64),
+            _arr(g.e_len, (E,), np.int64),
+            _arr(g.e_cov, (E,), np.float64),
+            _arr(g.seq_pool, (pool,), np.uint8) if pool else np.zeros(0, np.uint8),
+            _arr(g.v_conj, (V,), np.int64) if V else np.zeros(0, np.int64),
+        )
+    finally:
+        l.stbr_free_graph(gp)
+
+
+def lookup_rows_native(haystack: np.ndarray, needles: np.ndarray):
+    """Hash-table row lookup (native): position of each needle in haystack,
+    -1 when absent.  Fast path of ops/count.py searchsorted_rows."""
+    l = lib()
+    if l is None or not hasattr(l, "stbr_lookup_rows"):
+        return None
+    haystack = np.ascontiguousarray(haystack, np.uint32)
+    needles = np.ascontiguousarray(needles, np.uint32)
+    U, W = haystack.shape
+    N = needles.shape[0]
+    out = np.empty(N, np.int64)
+    pu32 = ctypes.POINTER(ctypes.c_uint32)
+    rc = l.stbr_lookup_rows(
+        np.int64(U), np.int32(W),
+        haystack.ctypes.data_as(pu32),
+        np.int64(N), needles.ctypes.data_as(pu32),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def merge_runs_native(words: np.ndarray, counts: np.ndarray, run_off: np.ndarray):

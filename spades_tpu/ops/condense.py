@@ -141,7 +141,36 @@ def condense(index: ExtensionIndex, p1: KmerCounts | None = None) -> CondensedGr
     """Build the condensed conjugate graph from an extension index.
 
     p1: the (k+1)-mer counts used for per-edge coverage sums (optional).
+
+    Native fast path: when the index carries the inverse indices of its build
+    sort (stbr_build_ext) and the matching p1 table is given, the whole
+    condensation runs in C++ with zero k-mer lookups and O(A) sequential
+    chain walks (native/graph.cpp stbr_condense) — the host-side analog of
+    the reference's UnbranchingPathExtractor.  The vectorized numpy/device
+    path below is the fallback and the multi-chip formulation.
     """
+    if (
+        p1 is not None
+        and index.pref_idx is not None
+        and index.pref_idx.shape[0] == p1.num_unique
+        and index.num_kmers > 0
+    ):
+        from ..native import condense_native
+
+        nat = condense_native(
+            index.kmers, index.in_mask, index.out_mask, index.k,
+            p1.words, p1.counts,
+            index.pref_idx, index.pref_rc, index.suf_idx, index.suf_rc,
+        )
+        if nat is not None:
+            e_start, e_end, e_conj, e_off, e_len, e_cov, seq_pool, v_conj = nat
+            return CondensedGraph(
+                k=index.k,
+                e_start=e_start, e_end=e_end, e_conj=e_conj,
+                e_off=e_off, e_len=e_len, e_cov=e_cov,
+                alive=np.ones(e_start.shape[0], bool),
+                seq_pool=seq_pool, v_conj=v_conj,
+            )
     k = index.k
     U = index.num_kmers
     Wk = index.kmers.shape[-1]

@@ -74,6 +74,14 @@ class ExtensionIndex:
     kmers: np.ndarray     # (U, Wk) uint32, sorted
     in_mask: np.ndarray   # (U,) uint8, bit c set => (k+1)-mer  c·K  exists
     out_mask: np.ndarray  # (U,) uint8, bit c set => (k+1)-mer  K·c  exists
+    # Optional inverse of the build sort, one entry per source (k+1)-mer:
+    # row + orientation of its canonical prefix/suffix k-mer.  When present
+    # (and matching the p1 table passed in), condensation places arcs by
+    # direct arithmetic with zero lookups (native/graph.cpp stbr_condense).
+    pref_idx: np.ndarray | None = None  # (P,) int64
+    suf_idx: np.ndarray | None = None   # (P,) int64
+    pref_rc: np.ndarray | None = None   # (P,) uint8
+    suf_rc: np.ndarray | None = None    # (P,) uint8
 
     @property
     def num_kmers(self) -> int:
@@ -115,12 +123,27 @@ POPCOUNT4 = np.array([bin(i).count("1") for i in range(16)], np.uint8)
 
 
 def build_extension_index(p1: KmerCounts) -> ExtensionIndex:
-    """Build the extension index from unique canonical (k+1)-mers."""
+    """Build the extension index from unique canonical (k+1)-mers.
+
+    Native fast path (`native/graph.cpp stbr_build_ext`) radix-sorts the
+    prefix/suffix contributions and keeps the inverse indices; the numpy
+    fallback below computes identical masks (without inverses)."""
     k = p1.k - 1
     if k % 2 == 0:
         raise ValueError(f"k must be odd (got k={k})")
     s = p1.words
     n = s.shape[0]
+    if n > 0:
+        from ..native import build_ext_native
+
+        nat = build_ext_native(s, k)
+        if nat is not None:
+            kmers, in_mask, out_mask, pref_idx, pref_rc, suf_idx, suf_rc = nat
+            return ExtensionIndex(
+                k=k, kmers=kmers, in_mask=in_mask, out_mask=out_mask,
+                pref_idx=pref_idx, pref_rc=pref_rc,
+                suf_idx=suf_idx, suf_rc=suf_rc,
+            )
     if n == 0:
         Wk = K.kmer_words(k)
         return ExtensionIndex(
