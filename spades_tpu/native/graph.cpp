@@ -20,6 +20,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <algorithm>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -333,9 +334,125 @@ StbrExt* stbr_build_ext(int64_t P, int32_t W1, int32_t k,
 // reverse complement); every set out-mask bit of n is one arc.  With the
 // inverse indices from stbr_build_ext every (k+1)-mer places its one or two
 // oriented arcs directly into its slot (node_arc_start[src] + rank of nt among
-// set bits).  Chains through unbranching nodes are walked sequentially; edge
-// ids are assigned in ascending head-arc order and vertices in ascending
-// node order, matching ops/condense.py exactly.
+// set bits) — zero lookups.  Unbranching chains are extracted with a
+// latency-hiding segmented pointer chase: the chain list is pre-split at
+// "splitter" arc ids (low bits zero), segments are chased with many
+// concurrent cursors per thread (memory-level parallelism instead of one
+// dependent-load chain), then stitched.  Edge ids are assigned in ascending
+// head-arc order and vertices in ascending node order, matching
+// ops/condense.py exactly.
+namespace {
+
+struct ArcRec {        // 16 B: one cache line holds 4 arcs
+    int32_t nxt;       // following arc in the chain, -1 at chain end
+    int32_t dst;       // destination oriented node
+    float cov;         // (k+1)-mer multiplicity of this arc
+    uint8_t nt;        // appended base
+    uint8_t pad[3];
+};
+
+struct Seg {           // one chased chain segment
+    int64_t start;     // first arc
+    int64_t last;      // last arc
+    int64_t next;      // arc id the segment feeds into (-1 = chain end)
+    int64_t len;
+    int64_t minarc;
+    double cov;
+};
+
+// Chase all segments: from each start, follow rec.nxt until the chain ends or
+// the next arc is a splitter ((id & smask) == 0).  IL concurrent cursors per
+// thread keep ~IL cache misses in flight.
+void chase_segments(const ArcRec* recs, const int64_t* starts, int64_t S,
+                    int64_t smask, Seg* segs) {
+    constexpr int IL = 16;
+    int64_t qhead = 0;
+#pragma omp parallel
+    {
+        struct Cur {
+            int64_t c, len, minarc, start;
+            double cov;
+        } cur[IL];
+        int active = 0;
+        while (true) {
+            while (active < IL) {
+                int64_t s;
+#pragma omp atomic capture
+                s = qhead++;
+                if (s >= S) break;
+                int64_t a = starts[s];
+                cur[active++] = {a, 0, a, s, 0.0};
+                __builtin_prefetch(&recs[a]);
+            }
+            if (active == 0) break;
+            for (int i = 0; i < active;) {
+                Cur& cu = cur[i];
+                const ArcRec& r = recs[cu.c];
+                cu.len++;
+                cu.cov += r.cov;
+                if (cu.c < cu.minarc) cu.minarc = cu.c;
+                int64_t n = r.nxt;
+                if (n < 0 || (n & smask) == 0) {
+                    Seg& sg = segs[cu.start];
+                    sg.start = starts[cu.start];
+                    sg.last = cu.c;
+                    sg.next = n;
+                    sg.len = cu.len;
+                    sg.minarc = cu.minarc;
+                    sg.cov = cu.cov;
+                    cur[i] = cur[--active];
+                } else {
+                    cu.c = n;
+                    __builtin_prefetch(&recs[n]);
+                    ++i;
+                }
+            }
+        }
+    }
+}
+
+// Second chase: write the per-arc appended bases of each segment into the
+// sequence pool (offsets precomputed by the stitcher); same cursor scheme.
+void chase_fill(const ArcRec* recs, const Seg* segs, const int64_t* seg_ids,
+                const int64_t* seg_off, int64_t S, uint8_t* pool) {
+    constexpr int IL = 16;
+    int64_t qhead = 0;
+#pragma omp parallel
+    {
+        struct Cur {
+            int64_t c, remaining;
+            uint8_t* out;
+        } cur[IL];
+        int active = 0;
+        while (true) {
+            while (active < IL) {
+                int64_t s;
+#pragma omp atomic capture
+                s = qhead++;
+                if (s >= S) break;
+                const Seg& sg = segs[seg_ids[s]];
+                cur[active++] = {sg.start, sg.len, pool + seg_off[s]};
+                __builtin_prefetch(&recs[sg.start]);
+            }
+            if (active == 0) break;
+            for (int i = 0; i < active;) {
+                Cur& cu = cur[i];
+                const ArcRec& r = recs[cu.c];
+                *cu.out++ = r.nt;
+                if (--cu.remaining == 0) {
+                    cur[i] = cur[--active];
+                } else {
+                    cu.c = r.nxt;
+                    __builtin_prefetch(&recs[r.nxt]);
+                    ++i;
+                }
+            }
+        }
+    }
+}
+
+}  // namespace
+
 StbrGraph* stbr_condense(int64_t U, int32_t W, int32_t k,
                          const uint32_t* kmers, const uint8_t* in_mask,
                          const uint8_t* out_mask, int64_t P, int32_t W1,
@@ -349,27 +466,21 @@ StbrGraph* stbr_condense(int64_t U, int32_t W, int32_t k,
                                      1, 9, 5, 13, 3, 11, 7, 15};
     int64_t N = 2 * U;
     StbrGraph* g = (StbrGraph*)std::calloc(1, sizeof(StbrGraph));
-    // oriented masks/degrees
-    uint8_t* om = (uint8_t*)std::malloc(N ? N : 1);
-    uint8_t* im = (uint8_t*)std::malloc(N ? N : 1);
+    // oriented node masks, interleaved om|im<<8 so one load serves both
+    uint16_t* nm = (uint16_t*)std::malloc((N ? N : 1) * sizeof(uint16_t));
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < U; ++i) {
-        om[2 * i] = out_mask[i];
-        om[2 * i + 1] = REV4[in_mask[i]];
-        im[2 * i] = in_mask[i];
-        im[2 * i + 1] = REV4[out_mask[i]];
+        nm[2 * i] = (uint16_t)(out_mask[i] | (in_mask[i] << 8));
+        nm[2 * i + 1] = (uint16_t)(REV4[in_mask[i]] | (REV4[out_mask[i]] << 8));
     }
     int64_t* arc_start = (int64_t*)std::malloc((N + 1) * sizeof(int64_t));
     int64_t A = 0;
     arc_start[0] = 0;
     for (int64_t n = 0; n < N; ++n) {
-        A += POP4[om[n]];
+        A += POP4[nm[n] & 15u];
         arc_start[n + 1] = A;
     }
     if (A == 0) {
-        g->E = 0;
-        g->V = 0;
-        g->pool = 0;
         g->e_start = (int64_t*)std::malloc(1);
         g->e_end = (int64_t*)std::malloc(1);
         g->e_conj = (int64_t*)std::malloc(1);
@@ -378,211 +489,392 @@ StbrGraph* stbr_condense(int64_t U, int32_t W, int32_t k,
         g->e_cov = (double*)std::malloc(1);
         g->seq_pool = (uint8_t*)std::malloc(1);
         g->v_conj = (int64_t*)std::malloc(1);
-        std::free(om);
-        std::free(im);
+        std::free(nm);
         std::free(arc_start);
         return g;
     }
-    int64_t* arc_src = (int64_t*)std::malloc(A * sizeof(int64_t));
-    int64_t* arc_dst = (int64_t*)std::malloc(A * sizeof(int64_t));
-    uint8_t* arc_nt = (uint8_t*)std::malloc(A);
-    double* arc_cov = (double*)std::malloc(A * sizeof(double));
-#pragma omp parallel for schedule(static)
-    for (int64_t a = 0; a < A; ++a) arc_src[a] = -1;
+    if (A >= (int64_t)1 << 31) {  // ArcRec uses int32 arc ids
+        g->error = 2;
+        std::free(nm);
+        std::free(arc_start);
+        return g;
+    }
 
-    int err = 0;
-    // place arcs from (k+1)-mer rows via the inverse indices
-#pragma omp parallel for schedule(static) reduction(| : err)
+    ArcRec* recs = (ArcRec*)std::malloc((size_t)A * sizeof(ArcRec));
+    // has_prv: bit per arc, small enough to stay cache-resident
+    uint64_t* has_prv = (uint64_t*)std::calloc((A + 63) / 64, 8);
+    int64_t placed = 0;
+    // Place arcs.  Each (k+1)-mer row yields its spelled arc and (unless
+    // palindromic) the conjugate arc.  nxt is computed right here: the
+    // successor of an arc into an unbranching node is that node's only
+    // out-arc, arc_start[dst].  Prefetches run PD rows ahead so the random
+    // mask/slot traffic overlaps.
+    constexpr int64_t PD = 24;
+#pragma omp parallel for schedule(static) reduction(+ : placed)
     for (int64_t i = 0; i < P; ++i) {
+        if (i + PD < P) {
+            int64_t ppn = 2 * pref_idx[i + PD] + pref_rc[i + PD];
+            int64_t psn = 2 * suf_idx[i + PD] + suf_rc[i + PD];
+            __builtin_prefetch(&nm[ppn]);
+            __builtin_prefetch(&nm[psn]);
+            __builtin_prefetch(&arc_start[ppn]);
+            __builtin_prefetch(&arc_start[psn]);
+        }
         const uint32_t* s = p1_words + (size_t)i * W1;
-        double cov = p1_counts ? (double)p1_counts[i] : 1.0;
+        float cov = p1_counts ? (float)p1_counts[i] : 1.0f;
         int64_t pn = 2 * pref_idx[i] + pref_rc[i];
         int64_t sn = 2 * suf_idx[i] + suf_rc[i];
         uint32_t nt1 = base_at(s, k);
-        // orientation 1: pn -nt1-> sn (skipped if early clipping cleared it)
-        if ((om[pn] >> nt1) & 1) {
-            int64_t slot = arc_start[pn] + POP4[om[pn] & ((1u << nt1) - 1)];
-            arc_src[slot] = pn;
-            arc_dst[slot] = sn;
-            arc_nt[slot] = (uint8_t)nt1;
-            arc_cov[slot] = cov;
+        uint32_t first = base_at(s, 0);
+        uint32_t om_pn = nm[pn] & 15u;
+        uint16_t m_sn = nm[sn];
+        bool sn_unbr = POP4[m_sn & 15u] == 1 && POP4[m_sn >> 8] == 1;
+        if ((om_pn >> nt1) & 1) {
+            int64_t slot = arc_start[pn] + POP4[om_pn & ((1u << nt1) - 1)];
+            int32_t nx = sn_unbr ? (int32_t)arc_start[sn] : -1;
+            recs[slot] = {nx, (int32_t)sn, cov, (uint8_t)nt1, {0, 0, 0}};
+            if (nx >= 0) {
+#pragma omp atomic
+                has_prv[nx >> 6] |= 1ull << (nx & 63);
+            }
+            placed++;
         }
-        // orientation 2 (the conjugate arc) — identical for palindromic rows
-        uint32_t rc0[MAXW];
-        revcomp_row(s, rc0, W1, k + 1);
-        if (cmp_rows(rc0, s, W1) != 0) {
+        // conjugate orientation — identical to the first for palindromes;
+        // quick reject (ends not complementary) before the full revcomp
+        bool palin = false;
+        if (first == 3 - nt1) {
+            uint32_t rc0[MAXW];
+            revcomp_row(s, rc0, W1, k + 1);
+            palin = cmp_rows(rc0, s, W1) == 0;
+        }
+        if (!palin) {
             int64_t pn2 = sn ^ 1;
             int64_t sn2 = pn ^ 1;
-            uint32_t nt2 = 3 - base_at(s, 0);
-            if ((om[pn2] >> nt2) & 1) {
-                int64_t slot = arc_start[pn2] + POP4[om[pn2] & ((1u << nt2) - 1)];
-                arc_src[slot] = pn2;
-                arc_dst[slot] = sn2;
-                arc_nt[slot] = (uint8_t)nt2;
-                arc_cov[slot] = cov;
+            uint32_t nt2 = 3 - first;
+            uint32_t om_pn2 = nm[pn2] & 15u;
+            uint16_t m_sn2 = nm[sn2];
+            bool sn2_unbr = POP4[m_sn2 & 15u] == 1 && POP4[m_sn2 >> 8] == 1;
+            if ((om_pn2 >> nt2) & 1) {
+                int64_t slot = arc_start[pn2] + POP4[om_pn2 & ((1u << nt2) - 1)];
+                int32_t nx = sn2_unbr ? (int32_t)arc_start[sn2] : -1;
+                recs[slot] = {nx, (int32_t)sn2, cov, (uint8_t)nt2, {0, 0, 0}};
+                if (nx >= 0) {
+#pragma omp atomic
+                    has_prv[nx >> 6] |= 1ull << (nx & 63);
+                }
+                placed++;
             }
         }
     }
-    for (int64_t a = 0; a < A; ++a)
-        if (arc_src[a] < 0) err = 1;  // mask bit without a (k+1)-mer row
-    if (err) {
+    if (placed != A) {  // mask bit without a (k+1)-mer row: inconsistent
         g->error = 1;
-        std::free(om);
-        std::free(im);
+        std::free(nm);
         std::free(arc_start);
-        std::free(arc_src);
-        std::free(arc_dst);
-        std::free(arc_nt);
-        std::free(arc_cov);
+        std::free(recs);
+        std::free(has_prv);
         return g;
     }
 
-    // chain links: arc a feeds the unique out-arc of its destination when the
-    // destination is unbranching (outdeg == indeg == 1)
-    int64_t* nxt = (int64_t*)std::malloc(A * sizeof(int64_t));
-    int64_t* prv = (int64_t*)std::malloc(A * sizeof(int64_t));
-#pragma omp parallel for schedule(static)
+    // segment starts: every head (no predecessor) + every splitter arc
+    int64_t stride = 1024;
+    while (stride > 1 && A / stride < 512) stride >>= 1;
+    int64_t smask = stride - 1;
+    std::vector<int64_t> starts;
+    starts.reserve((size_t)(A / stride) + 64);
+    std::vector<int64_t> head_list;
     for (int64_t a = 0; a < A; ++a) {
-        int64_t d = arc_dst[a];
-        nxt[a] = (POP4[om[d]] == 1 && POP4[im[d]] == 1) ? arc_start[d] : -1;
+        bool prv = (has_prv[a >> 6] >> (a & 63)) & 1;
+        if (!prv) head_list.push_back(a);
+        if (!prv || (a & smask) == 0) starts.push_back(a);
     }
-#pragma omp parallel for schedule(static)
-    for (int64_t a = 0; a < A; ++a) prv[a] = -1;
-    for (int64_t a = 0; a < A; ++a)
-        if (nxt[a] >= 0) prv[nxt[a]] = a;
+    int64_t S = (int64_t)starts.size();
+    std::vector<Seg> segs(S);
+    chase_segments(recs, starts.data(), S, smask, segs.data());
+    // seg index by splitter id for stitching
+    std::vector<int64_t> seg_of((size_t)(A / stride) + 1, -1);
+    for (int64_t s = 0; s < S; ++s)
+        if ((starts[s] & smask) == 0) seg_of[starts[s] >> /*log2*/ __builtin_ctzll(stride)] = s;
+    int shift = __builtin_ctzll(stride);
 
-    // perfect cycles: cut before the minimum arc (matching the numpy path)
-    uint8_t* visited = (uint8_t*)std::calloc(A, 1);
-    for (int64_t a = 0; a < A; ++a) {
-        if (visited[a] || prv[a] >= 0) continue;
-        for (int64_t c = a; c >= 0; c = nxt[c]) visited[c] = 1;
+    // stitch chains from heads; count covered arcs
+    std::vector<uint8_t> seg_used(S, 0);
+    int64_t covered = 0;
+    struct Chain {
+        int64_t head, tail, len;
+        double cov;
+        int64_t first_seg;  // index into chain_segs
+        int64_t n_segs;
+    };
+    std::vector<Chain> chains;
+    std::vector<int64_t> chain_segs;  // seg ids, grouped per chain
+    chains.reserve(head_list.size());
+    {
+        // map head arc -> its seg id: heads appear in `starts` in arc order
+        // interleaved with splitters; rebuild via scan
+        std::vector<int64_t> head_seg(head_list.size());
+        int64_t hp = 0;
+        for (int64_t s = 0; s < S; ++s)
+            if (hp < (int64_t)head_list.size() && starts[s] == head_list[hp])
+                head_seg[hp++] = s;
+        // note: a head that is also a splitter appears once in starts
+        for (size_t h = 0; h < head_list.size(); ++h) {
+            int64_t sid = head_seg[h];
+            Chain ch{head_list[h], 0, 0, 0.0, (int64_t)chain_segs.size(), 0};
+            while (true) {
+                const Seg& sg = segs[sid];
+                seg_used[sid] = 1;
+                chain_segs.push_back(sid);
+                ch.n_segs++;
+                ch.len += sg.len;
+                ch.cov += sg.cov;
+                ch.tail = sg.last;
+                covered += sg.len;
+                if (sg.next < 0) break;
+                sid = seg_of[sg.next >> shift];
+            }
+            chains.push_back(ch);
+        }
     }
-    for (int64_t a = 0; a < A; ++a) {
-        if (visited[a]) continue;
-        // unvisited => perfect cycle; find its min arc, cut before it
-        int64_t mn = a;
-        int64_t c = a;
-        do {
-            visited[c] = 1;
-            if (c < mn) mn = c;
-            c = nxt[c];
-        } while (c != a);
-        nxt[prv[mn]] = -1;
-        prv[mn] = -1;
-    }
-    std::free(visited);
 
-    // heads in ascending arc order == ascending edge ids (np.unique order)
-    std::vector<int64_t> heads;
-    heads.reserve(1024);
-    for (int64_t a = 0; a < A; ++a)
-        if (prv[a] < 0) heads.push_back(a);
-    int64_t E = (int64_t)heads.size();
+    // leftovers are perfect cycles: splitter segments not reached from any
+    // head, plus (rarely) arcs in splitterless cycles.  Cut each cycle
+    // before its minimum arc (numpy semantics) and emit it as one chain.
+    std::vector<Chain> cycle_chains;
+    if (covered < A) {
+        // cycles containing splitters: walk unused segs
+        for (int64_t s = 0; s < S; ++s) {
+            if (seg_used[s]) continue;
+            // collect the segment cycle
+            int64_t minarc = segs[s].minarc;
+            int64_t total = 0;
+            double cov = 0;
+            int64_t sid = s;
+            while (true) {
+                const Seg& sg = segs[sid];
+                if (seg_used[sid]) break;  // already consumed (same cycle)
+                seg_used[sid] = 1;
+                total += sg.len;
+                cov += sg.cov;
+                if (sg.minarc < minarc) minarc = sg.minarc;
+                if (sg.next < 0) break;  // cannot happen in a cycle
+                sid = seg_of[sg.next >> shift];
+                if (sid == s) break;
+            }
+            covered += total;
+            // find the predecessor of minarc by walking the cycle once
+            int64_t pred = minarc;
+            while (recs[pred].nxt != (int32_t)minarc) pred = recs[pred].nxt;
+            Chain ch{minarc, pred, total, cov, -1, 0};
+            cycle_chains.push_back(ch);
+        }
+        // splitterless cycles: not reachable at all — find by elimination
+        if (covered < A) {
+            std::vector<uint8_t> vis(A, 0);
+            for (int64_t s = 0; s < S; ++s) {
+                int64_t c = segs[s].start;
+                for (int64_t t = 0; t < segs[s].len; ++t) {
+                    vis[c] = 1;
+                    c = recs[c].nxt;
+                }
+            }
+            for (const Chain& ch : cycle_chains) {
+                int64_t c = ch.head;
+                for (int64_t t = 0; t < ch.len; ++t) {
+                    vis[c] = 1;
+                    c = recs[c].nxt;
+                }
+            }
+            for (int64_t a = 0; a < A; ++a) {
+                if (vis[a]) continue;
+                int64_t minarc = a, total = 0, pred = a;
+                double cov = 0;
+                int64_t c = a;
+                do {
+                    vis[c] = 1;
+                    total++;
+                    cov += recs[c].cov;
+                    if (recs[c].nxt < minarc) pred = c;  // pred of future min
+                    if (c < minarc) minarc = c;
+                    c = recs[c].nxt;
+                } while (c != a);
+                // recompute pred exactly (min known only now)
+                pred = minarc;
+                while (recs[pred].nxt != (int32_t)minarc) pred = recs[pred].nxt;
+                covered += total;
+                cycle_chains.push_back({minarc, pred, total, cov, -1, 0});
+            }
+        }
+        if (covered != A) {  // shared-suffix chains: inconsistent masks
+            g->error = 1;
+            std::free(nm);
+            std::free(arc_start);
+            std::free(recs);
+            std::free(has_prv);
+            return g;
+        }
+        // cut cycles so the fill chase terminates
+        for (const Chain& ch : cycle_chains) recs[ch.tail].nxt = -1;
+    }
+
+    // merge chains in ascending head order (numpy edge-id order)
+    if (!cycle_chains.empty()) {
+        for (const Chain& c : cycle_chains) chains.push_back(c);
+        std::sort(chains.begin(), chains.end(),
+                  [](const Chain& a, const Chain& b) { return a.head < b.head; });
+    }
+    int64_t E = (int64_t)chains.size();
 
     int64_t* e_len = (int64_t*)std::malloc(E * sizeof(int64_t));
     int64_t* e_off = (int64_t*)std::malloc(E * sizeof(int64_t));
-    double* e_cov = (double*)std::calloc(E, sizeof(double));
-    int64_t* tail_arc = (int64_t*)std::malloc(E * sizeof(int64_t));
-    int64_t* edge_of_arc = (int64_t*)std::malloc(A * sizeof(int64_t));
-    int64_t* pos = (int64_t*)std::malloc(A * sizeof(int64_t));
-#pragma omp parallel for schedule(dynamic, 512)
-    for (int64_t e = 0; e < E; ++e) {
-        int64_t n = 0;
-        double cv = 0;
-        int64_t last = heads[e];
-        for (int64_t c = heads[e]; c >= 0; c = nxt[c]) {
-            edge_of_arc[c] = e;
-            pos[c] = n++;
-            cv += arc_cov[c];
-            last = c;
-        }
-        e_len[e] = n + k;
-        e_cov[e] = cv;
-        tail_arc[e] = last;
-    }
+    double* e_cov = (double*)std::malloc(E * sizeof(double));
     int64_t pool = 0;
     for (int64_t e = 0; e < E; ++e) {
+        e_len[e] = chains[e].len + k;
+        e_cov[e] = chains[e].cov;
         e_off[e] = pool;
         pool += e_len[e];
     }
     uint8_t* seq_pool = (uint8_t*)std::malloc(pool ? pool : 1);
-    // k-prefix of each edge = its head's source node k-mer
-#pragma omp parallel for schedule(static)
+
+    // per-segment fill jobs: cycles fill as one whole-chain segment
+    std::vector<int64_t> fill_seg;    // seg id (or ~chain id for cycles)
+    std::vector<int64_t> fill_off;    // absolute pool offset of the nts
+    std::vector<Seg> cyc_segs;
     for (int64_t e = 0; e < E; ++e) {
-        int64_t n = arc_src[heads[e]];
+        const Chain& ch = chains[e];
+        int64_t off = e_off[e] + k;
+        if (ch.first_seg < 0) {
+            Seg sg{ch.head, ch.tail, -1, ch.len, ch.head, ch.cov};
+            cyc_segs.push_back(sg);
+            fill_seg.push_back(-(int64_t)cyc_segs.size());  // -1-based marker
+            fill_off.push_back(off);
+            continue;
+        }
+        for (int64_t j = 0; j < ch.n_segs; ++j) {
+            int64_t sid = chain_segs[ch.first_seg + j];
+            fill_seg.push_back(sid);
+            fill_off.push_back(off);
+            off += segs[sid].len;
+        }
+    }
+    // resolve cycle markers into real seg entries appended after segs
+    int64_t base_segs = (int64_t)segs.size();
+    for (auto& fs : fill_seg)
+        if (fs < 0) fs = base_segs + (-fs - 1);
+    segs.insert(segs.end(), cyc_segs.begin(), cyc_segs.end());
+    chase_fill(recs, segs.data(), fill_seg.data(), fill_off.data(),
+               (int64_t)fill_seg.size(), seq_pool);
+
+    // per-edge endpoints + k-prefix bases.  The head arc's source node is
+    // recovered by binary search over arc_start (heads only — E of them).
+    int64_t* e_start = (int64_t*)std::malloc((E ? E : 1) * sizeof(int64_t));
+    int64_t* e_end = (int64_t*)std::malloc((E ? E : 1) * sizeof(int64_t));
+    int64_t* e_conj = (int64_t*)std::malloc((E ? E : 1) * sizeof(int64_t));
+    std::vector<int64_t> head_node(E), tail_node(E);
+    auto node_of_arc = [&](int64_t a) -> int64_t {
+        int64_t lo = 0, hi = N;  // find n with arc_start[n] <= a < arc_start[n+1]
+        while (hi - lo > 1) {
+            int64_t mid = (lo + hi) >> 1;
+            if (arc_start[mid] <= a)
+                lo = mid;
+            else
+                hi = mid;
+        }
+        return lo;
+    };
+    int err2 = 0;
+#pragma omp parallel for schedule(static) reduction(| : err2)
+    for (int64_t e = 0; e < E; ++e) {
+        const Chain& ch = chains[e];
+        head_node[e] = node_of_arc(ch.head);
+        tail_node[e] = node_of_arc(ch.tail);
+        // k-prefix = head's source node k-mer
+        int64_t n = head_node[e];
         uint32_t row[MAXW];
         if (n & 1)
             revcomp_row(kmers + (size_t)(n >> 1) * W, row, W, k);
         else
             std::memcpy(row, kmers + (size_t)(n >> 1) * W, W * sizeof(uint32_t));
-        uint8_t* dst = seq_pool + e_off[e];
-        for (int j = 0; j < k; ++j) dst[j] = (uint8_t)base_at(row, j);
+        uint8_t* dstp = seq_pool + e_off[e];
+        for (int j = 0; j < k; ++j) dstp[j] = (uint8_t)base_at(row, j);
     }
-#pragma omp parallel for schedule(static)
-    for (int64_t a = 0; a < A; ++a)
-        seq_pool[e_off[edge_of_arc[a]] + k + pos[a]] = arc_nt[a];
 
-    // conjugate pairing: rc of arc (n -c-> m) is (m^1 -comp(fb(n))-> n^1)
-    int64_t* e_conj = (int64_t*)std::malloc(E * sizeof(int64_t));
-    int err2 = 0;
+    // conjugate pairing: rc of arc (n -c-> m) is (m^1 -comp(fb(n))-> n^1);
+    // the conjugate edge is the chain whose HEAD is the rc of this tail.
+    std::vector<int64_t> head_arcs(E);
+    for (int64_t e = 0; e < E; ++e) head_arcs[e] = chains[e].head;
 #pragma omp parallel for schedule(static) reduction(| : err2)
     for (int64_t e = 0; e < E; ++e) {
-        int64_t t = tail_arc[e];
-        int64_t n = arc_src[t];
+        int64_t tn = tail_node[e];
         uint32_t fb;
-        if (n & 1)
-            fb = 3 - base_at(kmers + (size_t)(n >> 1) * W, k - 1);
+        if (tn & 1)
+            fb = 3 - base_at(kmers + (size_t)(tn >> 1) * W, k - 1);
         else
-            fb = base_at(kmers + (size_t)(n >> 1) * W, 0);
-        int64_t rs = arc_dst[t] ^ 1;
+            fb = base_at(kmers + (size_t)(tn >> 1) * W, 0);
+        int64_t rs = (int64_t)recs[chains[e].tail].dst ^ 1;
         uint32_t rnt = 3 - fb;
-        if (!((om[rs] >> rnt) & 1)) {
+        uint32_t om_rs = nm[rs] & 15u;
+        if (!((om_rs >> rnt) & 1)) {
             err2 = 1;
             e_conj[e] = e;
             continue;
         }
-        int64_t ra = arc_start[rs] + POP4[om[rs] & ((1u << rnt) - 1)];
-        e_conj[e] = edge_of_arc[ra];
+        int64_t ra = arc_start[rs] + POP4[om_rs & ((1u << rnt) - 1)];
+        // binary search ra among sorted head arcs
+        int64_t lo = 0, hi = E - 1, res = -1;
+        while (lo <= hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (head_arcs[mid] == ra) {
+                res = mid;
+                break;
+            }
+            if (head_arcs[mid] < ra)
+                lo = mid + 1;
+            else
+                hi = mid - 1;
+        }
+        if (res < 0) {
+            err2 = 1;
+            res = e;
+        }
+        e_conj[e] = res;
     }
 
     // vertices: endpoint nodes and their conjugates, ids in node order
-    uint8_t* mark = (uint8_t*)std::calloc(N, 1);
-    for (int64_t e = 0; e < E; ++e) {
-        int64_t s = arc_src[heads[e]], t = arc_dst[tail_arc[e]];
-        mark[s] = mark[s ^ 1] = 1;
-        mark[t] = mark[t ^ 1] = 1;
-    }
-    int64_t* node2v = (int64_t*)std::malloc(N * sizeof(int64_t));
-    int64_t V = 0;
-    for (int64_t n = 0; n < N; ++n) node2v[n] = mark[n] ? V++ : -1;
-    int64_t* v_conj = (int64_t*)std::malloc((V ? V : 1) * sizeof(int64_t));
-    for (int64_t n = 0; n < N; ++n)
-        if (mark[n]) v_conj[node2v[n]] = node2v[n ^ 1];
-    int64_t* e_start = (int64_t*)std::malloc((E ? E : 1) * sizeof(int64_t));
-    int64_t* e_end = (int64_t*)std::malloc((E ? E : 1) * sizeof(int64_t));
+    {
+        std::vector<int64_t> vn;
+        vn.reserve(4 * E);
+        for (int64_t e = 0; e < E; ++e) {
+            int64_t s = head_node[e], t = (int64_t)recs[chains[e].tail].dst;
+            vn.push_back(s);
+            vn.push_back(s ^ 1);
+            vn.push_back(t);
+            vn.push_back(t ^ 1);
+        }
+        std::sort(vn.begin(), vn.end());
+        vn.erase(std::unique(vn.begin(), vn.end()), vn.end());
+        int64_t V = (int64_t)vn.size();
+        int64_t* v_conj = (int64_t*)std::malloc((V ? V : 1) * sizeof(int64_t));
+        auto vid = [&](int64_t node) {
+            return (int64_t)(std::lower_bound(vn.begin(), vn.end(), node) -
+                             vn.begin());
+        };
+        for (int64_t v = 0; v < V; ++v) v_conj[v] = vid(vn[v] ^ 1);
 #pragma omp parallel for schedule(static)
-    for (int64_t e = 0; e < E; ++e) {
-        e_start[e] = node2v[arc_src[heads[e]]];
-        e_end[e] = node2v[arc_dst[tail_arc[e]]];
+        for (int64_t e = 0; e < E; ++e) {
+            e_start[e] = vid(head_node[e]);
+            e_end[e] = vid((int64_t)recs[chains[e].tail].dst);
+        }
+        g->V = V;
+        g->v_conj = v_conj;
     }
 
-    std::free(mark);
-    std::free(node2v);
-    std::free(om);
-    std::free(im);
+    std::free(nm);
     std::free(arc_start);
-    std::free(arc_src);
-    std::free(arc_dst);
-    std::free(arc_nt);
-    std::free(arc_cov);
-    std::free(nxt);
-    std::free(prv);
-    std::free(edge_of_arc);
-    std::free(pos);
-    std::free(tail_arc);
+    std::free(recs);
+    std::free(has_prv);
 
     g->E = E;
-    g->V = V;
     g->pool = pool;
     g->e_start = e_start;
     g->e_end = e_end;
@@ -591,7 +883,6 @@ StbrGraph* stbr_condense(int64_t U, int32_t W, int32_t k,
     g->e_len = e_len;
     g->e_cov = e_cov;
     g->seq_pool = seq_pool;
-    g->v_conj = v_conj;
     g->error = err2;
     return g;
 }
