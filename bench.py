@@ -168,8 +168,10 @@ def bench_simplify() -> dict:
     bulges/EC x 10 iterations + compress after every mutating pass) on a
     1M-edge synthetic tangled graph — the graph-phase analog of the counting
     metric.  The reference runs this stage as parallel C++
-    (`parallel_simplification_algorithms.hpp`); here it is vectorized numpy +
-    the native bulge Dijkstra, and the unit is oriented edges of the input
+    (`parallel_simplification_algorithms.hpp`); here it is the native
+    chain-merging engine (native/simplify.cpp: O(1) pointer-splice merges,
+    event-driven bulge retriggering, zero sequence copies until the final
+    materialization sweep), and the unit is oriented edges of the input
     graph processed per second of schedule wall time."""
     import time
 

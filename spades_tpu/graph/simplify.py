@@ -56,6 +56,9 @@ class SimplifyConfig:
     rel_cov_ratio: float = 5.0
     # isolated edge remover
     ier_enabled: bool = True
+    # native engine: event-driven Dijkstra-bulge retriggering (the
+    # reference's SmartSet semantics); False = exact full re-scan each pass
+    retrigger: bool = True
     # complex tip clipper (complex_tc; enabled in meta_mode.info:50-53)
     complex_tc_enabled: bool = False
     # complex (superbubble) bulge remover (cbr; enabled in mda_mode.info:51)
@@ -398,6 +401,81 @@ class SimplifyStats:
     iterations: int = 0
 
 
+def _chain_codes(g: CondensedGraph, arc_orig: np.ndarray) -> np.ndarray:
+    """Concatenate arc sequences with k-overlap trimming (head keeps its
+    first k bases; every arc contributes seq[k:])."""
+    parts = [g.edge_codes(int(arc_orig[0]))]
+    for a in arc_orig[1:]:
+        parts.append(g.edge_codes(int(a))[g.k:])
+    return np.concatenate(parts)
+
+
+def _simplify_loop_native(
+    g: CondensedGraph,
+    cfg: SimplifyConfig,
+    auto_cb: float,
+    ec_len: int,
+    tip_len_1: int,
+    tip_len_2: int,
+    kmer_mapper,
+    stats: "SimplifyStats",
+) -> CondensedGraph | None:
+    """Run the main TC/BR/EC loop on the native chain-merging engine
+    (native/simplify.cpp) and materialize the resulting graph in one
+    vectorized ragged copy.  Returns None when the native library is
+    unavailable (callers fall back to the vectorized numpy loop)."""
+    from .. import native as _native
+
+    if _native.lib() is None:
+        return None
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return None
+    old2sub = -np.ones(g.alive.shape[0], np.int64)
+    old2sub[ids] = np.arange(ids.size)
+    k = g.k
+    res = _native.simplify_native(
+        g.e_start[ids], g.e_end[ids], old2sub[g.e_conj[ids]],
+        g.e_len[ids] - k, g.e_cov[ids], g.v_conj,
+        cycle_iter_count=cfg.cycle_iter_count,
+        tip_len_1=tip_len_1, tip_len_2=tip_len_2,
+        tip_cb1=1e6, auto_cb=float(auto_cb), rctc=cfg.rctc,
+        br_enabled=cfg.br_enabled,
+        br_max_len=int(cfg.max_bulge_length_coeff * k + cfg.max_additive_length_coeff),
+        max_delta=cfg.max_delta, max_rel_delta=cfg.max_relative_delta,
+        max_rel_cov=cfg.max_relative_coverage,
+        ec_len=ec_len, rel_cov_enabled=cfg.rel_cov_enabled,
+        rel_cov_ratio=cfg.rel_cov_ratio,
+        record_glue=kmer_mapper is not None,
+        retrigger=cfg.retrigger,
+        arc_seq_pool=g.seq_pool, arc_seq_off=g.e_off[ids], k=k,
+    )
+    if res is None:
+        return None
+    stats.tips += res["tips"]
+    stats.bulges += res["bulges"]
+    stats.ec += res["ec"]
+    stats.iterations = res["iterations"]
+    # glue records -> kmer mapper (RemapKmers semantics, as in remove_bulges)
+    if kmer_mapper is not None:
+        gao, gaa = res["glue_arm_off"], res["glue_arm_arcs"]
+        gko, gka = res["glue_keep_off"], res["glue_keep_arcs"]
+        for gi in range(len(gao) - 1):
+            arm = _chain_codes(g, ids[gaa[gao[gi]:gao[gi + 1]]])
+            keep = _chain_codes(g, ids[gka[gko[gi]:gko[gi + 1]]])
+            kmer_mapper.remap_sequences(arm, keep)
+    # sequences were materialized inside the engine (one sequential sweep)
+    E = len(res["e_start"])
+    e_len = res["e_klen"] + k
+    return CondensedGraph(
+        k=k,
+        e_start=res["e_start"], e_end=res["e_end"], e_conj=res["e_conj"],
+        e_off=res["e_off"], e_len=e_len, e_cov=res["e_cov"],
+        alive=np.ones(E, bool), seq_pool=res["seq_pool"],
+        v_conj=g.v_conj.copy(),
+    )
+
+
 def simplify(
     g: CondensedGraph,
     info: GenomicInfo | None = None,
@@ -412,6 +490,12 @@ def simplify(
     ec_len = int(k + cfg.ec_lb)
     tip_len_1 = max_tip_length(cfg, k, cfg.tc_lb)
     tip_len_2 = max_tip_length(cfg, k, cfg.tc_lb_alt)
+
+    gn = _simplify_loop_native(
+        g, cfg, auto_cb, ec_len, tip_len_1, tip_len_2, kmer_mapper, stats
+    )
+    if gn is not None:
+        return _simplify_tail(gn, cfg, stats, kmer_mapper)
 
     for it in range(cfg.cycle_iter_count):
         stats.iterations = it + 1
@@ -443,6 +527,15 @@ def simplify(
             break
         if changed == 0 and not np.isfinite(auto_cb):
             break
+    return _simplify_tail(g, cfg, stats, kmer_mapper)
+
+
+def _simplify_tail(
+    g: CondensedGraph, cfg: SimplifyConfig, stats: "SimplifyStats", kmer_mapper
+) -> tuple[CondensedGraph, SimplifyStats]:
+    """Post-loop passes: complex bulge/tip/max-flow removers, then isolated
+    cleanup — shared by the native and numpy main loops."""
+    k = g.k
     if cfg.cbr_enabled or cfg.complex_tc_enabled or cfg.mfec_enabled:
         from .simplify_complex import (
             clip_complex_tips, collapse_superbubbles, max_flow_ec_remover,

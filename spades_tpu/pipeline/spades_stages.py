@@ -64,7 +64,22 @@ class GenomicInfoFiller(AssemblyStage):
     id = "ec_threshold_finder"
 
     def run(self, ctx: AssemblyContext) -> None:
-        ctx.genomic_info = fit_coverage_model(ctx.p1_counts.counts)
+        if ctx.mode in ("meta", "sc"):
+            # uneven-depth branch (genomic_info_filler.cpp:36-44): the k-mer
+            # mixture assumes a dominant coverage mode; metagenomes / MDA
+            # single-cell use the short-edge coverage threshold finder
+            from ..graph.coverage_model import GenomicInfo, find_uneven_threshold
+
+            info = fit_coverage_model(ctx.p1_counts.counts)
+            ctx.genomic_info = GenomicInfo(
+                ec_bound=find_uneven_threshold(ctx.graph),
+                trusted_bound=info.trusted_bound,
+                estimated_mean=info.estimated_mean,
+                genome_size=info.genome_size,
+                converged=False,
+            )
+        else:
+            ctx.genomic_info = fit_coverage_model(ctx.p1_counts.counts)
         log.info(
             "ec_bound=%.1f trusted=%.1f mean=%.1f genome~%d",
             ctx.genomic_info.ec_bound, ctx.genomic_info.trusted_bound,
