@@ -29,8 +29,8 @@ log = logging.getLogger("spades_tpu.gap_closer")
 @dataclass
 class GapCloserConfig:
     min_pair_support: int = 3      # pairs needed to consider a junction
-    min_overlap: int = 8           # minimal splice overlap (reference min intersection)
-    max_overlap_mismatches: int = 2
+    min_intersection: int = 10     # gc.minimal_intersection (config.info:130)
+    max_overlap_mismatches: int = 2  # hamming_dist_bound = min_intersection/5
     max_tip_scan: int = 400        # how far from the tip a mate may map
 
 
@@ -47,13 +47,47 @@ def _dead_start_edges(g: CondensedGraph):
     return set(int(e) for e in ids if in_deg[g.e_start[e]] == 0)
 
 
-def _best_overlap(tail: np.ndarray, head: np.ndarray, cfg: GapCloserConfig) -> int:
-    """Largest o with <= max mismatches between tail[-o:] and head[:o]; 0 if none."""
-    max_o = min(len(tail), len(head))
-    for o in range(max_o, cfg.min_overlap - 1, -1):
-        if int(np.sum(tail[-o:] != head[:o])) <= cfg.max_overlap_mismatches:
-            return o
-    return 0
+def _join_with_correction(
+    tail: np.ndarray, head: np.ndarray, k: int, cfg: GapCloserConfig
+) -> np.ndarray | None:
+    """Overlap-join the two tip sequences, correcting overlap mismatches.
+
+    Mirror of GapCloser::ProcessPair (gap_closer.cpp:322-365): gaps 1..k -
+    min_intersection are tried largest-overlap-first; a low-complexity
+    overlap rejects the candidate outright (:337-352); a perfect overlap
+    joins directly (HandleSimpleCase :301-317); an imperfect one is
+    corrected by rewriting the overlap with one side's version when the
+    graph structure allows it (HandlePositiveHammingDistanceCase +
+    CorrectLeft/CorrectRight :249-298 — expressed here directly on the
+    joined sequence: CorrectLeft replaces first's overlap bases with
+    second's, CorrectRight keeps first's), leaving the closed contig free of
+    the tip errors."""
+    len1, len2 = len(tail), len(head)
+    max_gap = k - cfg.min_intersection
+    for gap in range(1, max_gap + 1):
+        o = k - gap
+        if o > min(len1, len2):
+            continue
+        t, h = tail[-o:], head[:o]
+        diff = np.flatnonzero(t != h)
+        if diff.size > cfg.max_overlap_mismatches:
+            continue
+        # complexity check: dominant-base ratio ramps 0.8 -> 1.0 with gap
+        counts = np.bincount(t, minlength=4)
+        ratio = 0.8 + 0.2 * (gap - 1) / max(max_gap - 1, 1)
+        if counts.max() > ratio * o:
+            return None
+        if diff.size == 0:
+            return np.concatenate([tail, head[o:]])
+        # CanCorrectLeft: every mismatch must leave the split inside first
+        # (overlap - pos + k < len1); then second's overlap version wins
+        if np.all(o - diff + k < len1):
+            return np.concatenate([tail[: len1 - o], head])
+        # CanCorrectRight: symmetric on second; first's version wins
+        if np.all(diff + 1 + k < len2):
+            return np.concatenate([tail, head[o:]])
+        return None
+    return None
 
 
 def close_gaps(
@@ -109,14 +143,13 @@ def close_gaps(
             continue
         tail = g.edge_codes(ea)
         head = g.edge_codes(eb)
-        o = _best_overlap(tail, head, cfg)
-        if o == 0:
+        joined = _join_with_correction(tail, head, g.k, cfg)
+        if joined is None:
             continue
-        joined = np.concatenate([tail, head[o:]])
         cov = float(g.e_cov[ea] + g.e_cov[eb])
         g.add_edge_pair(int(g.e_start[ea]), int(g.e_end[eb]), joined, cov)
         g.kill_edges(np.array([ea, eb]))
         used.update({ea, eb, int(g.e_conj[ea]), int(g.e_conj[eb])})
         closed += 1
-        log.info("closed gap %d->%d: overlap %d, support %d", ea, eb, o, w)
+        log.info("closed gap %d->%d: support %d", ea, eb, w)
     return closed

@@ -107,6 +107,13 @@ class ReadBatch:
         return out
 
 
+def _next_pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
 def batch_iter(
     seq_iter: Iterable[str | bytes],
     batch_size: int = 65536,
@@ -118,20 +125,35 @@ def batch_iter(
     Batches flush at `batch_size` sequences OR when the padded footprint
     (count x longest-in-batch) would exceed `max_batch_nt` — mixed-length
     inputs (reads + long contigs) otherwise pad every row to the longest
-    sequence and explode the window count."""
+    sequence and explode the window count.
+
+    Shapes are BUCKETED to powers of two (rows and padded length): every
+    jitted consumer compiles once per bucket instead of once per batch.  XLA
+    compiles through the shared compile service cost seconds-to-minutes per
+    shape in this environment while the padded-row compute costs microseconds
+    — the same trade the reference makes with fixed `cell_size` splitter
+    buffers (`kmer_splitter.hpp:95-111`)."""
     buf: list = []
     maxlen = 0
+
+    def flush(seqs):
+        return ReadBatch.from_sequences(
+            seqs,
+            pad_len_to=_next_pow2(max(maxlen, pad_len_to)),
+            pad_reads_to=_next_pow2(len(seqs)),
+        )
+
     for s in seq_iter:
         if buf and (len(buf) + 1) * max(maxlen, len(s)) > max_batch_nt:
-            yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
+            yield flush(buf)
             buf, maxlen = [], 0
         buf.append(s)
         maxlen = max(maxlen, len(s))
         if len(buf) >= batch_size:
-            yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
+            yield flush(buf)
             buf, maxlen = [], 0
     if buf:
-        yield ReadBatch.from_sequences(buf, pad_len_to=pad_len_to)
+        yield flush(buf)
 
 
 def chop_sequences(seqs: Iterable[str], k: int, max_len: int = 4096) -> Iterable[str]:

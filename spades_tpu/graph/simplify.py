@@ -323,27 +323,39 @@ def remove_bulges_dijkstra(g: CondensedGraph, cfg: SimplifyConfig) -> int:
 
 
 def disconnect_relative_coverage(
-    g: CondensedGraph, ratio: float = 5.0, max_len: int | None = None
+    g: CondensedGraph, ratio: float = 5.0, max_len: int | None = None,
+    flanking=None,
 ) -> int:
     """Relative-coverage disconnector (`relative_coverage_remover.hpp`,
     the meta-mode workhorse): remove edges whose coverage is `ratio`-times
     below the strongest flow at BOTH endpoints (chimeric joins between
-    differently-covered genomic contexts)."""
+    differently-covered genomic contexts).
+
+    With a FlankingCoverage index the per-endpoint signal is the edge's
+    LOCAL flank at that vertex (the reference's LocalCoverage,
+    `relative_coverage_remover.hpp:240-249`) instead of the whole-edge
+    average — on long edges spanning differently-covered contexts the flank
+    is the honest signal at the junction."""
     ids = g.alive_edge_ids()
     if ids.size == 0:
         return 0
     cov = g.coverage()
     comp = _max_competitor_cov(g)
 
+    if flanking is not None:
+        start_local = flanking.cov_of_start(g, ids)
+        end_local = flanking.cov_of_end(g, ids)
+    else:
+        start_local = end_local = cov[ids]
     # competitor maxima per endpoint separately
     V = g.num_vertices
-    out_sum = np.bincount(g.e_start[ids], weights=cov[ids], minlength=V)
-    in_sum = np.bincount(g.e_end[ids], weights=cov[ids], minlength=V)
+    out_sum = np.bincount(g.e_start[ids], weights=start_local, minlength=V)
+    in_sum = np.bincount(g.e_end[ids], weights=end_local, minlength=V)
     s, e = g.e_start[ids], g.e_end[ids]
     # strongest alternative flow around each endpoint of the edge
-    start_alt = np.maximum(out_sum[s] - cov[ids], in_sum[s])
-    end_alt = np.maximum(in_sum[e] - cov[ids], out_sum[e])
-    cond = (cov[ids] * ratio <= start_alt) & (cov[ids] * ratio <= end_alt)
+    start_alt = np.maximum(out_sum[s] - start_local, in_sum[s])
+    end_alt = np.maximum(in_sum[e] - end_local, out_sum[e])
+    cond = (start_local * ratio <= start_alt) & (end_local * ratio <= end_alt)
     if max_len is not None:
         cond &= g.edge_kmer_lengths()[ids] <= max_len
     # only disconnect genuine joins (both endpoints have alternatives)
@@ -481,8 +493,16 @@ def simplify(
     info: GenomicInfo | None = None,
     cfg: SimplifyConfig | None = None,
     kmer_mapper=None,
+    flanking=None,
 ) -> tuple[CondensedGraph, SimplifyStats]:
-    """Full simplification schedule (simplification.cpp:405-429 shape)."""
+    """Full simplification schedule (simplification.cpp:405-429 shape).
+
+    flanking: optional FlankingCoverage index — or a callable
+    ``g -> FlankingCoverage`` so it can be rebuilt after compress()
+    renumbers edges — consulted by the relative-coverage disconnector
+    (LocalCoverage semantics); when provided with rel_cov enabled the
+    schedule runs on the numpy loop (the native engine's rel-cov pass reads
+    whole-edge averages)."""
     cfg = cfg or SimplifyConfig()
     stats = SimplifyStats()
     k = g.k
@@ -491,11 +511,12 @@ def simplify(
     tip_len_1 = max_tip_length(cfg, k, cfg.tc_lb)
     tip_len_2 = max_tip_length(cfg, k, cfg.tc_lb_alt)
 
-    gn = _simplify_loop_native(
-        g, cfg, auto_cb, ec_len, tip_len_1, tip_len_2, kmer_mapper, stats
-    )
-    if gn is not None:
-        return _simplify_tail(gn, cfg, stats, kmer_mapper)
+    if flanking is None or not cfg.rel_cov_enabled:
+        gn = _simplify_loop_native(
+            g, cfg, auto_cb, ec_len, tip_len_1, tip_len_2, kmer_mapper, stats
+        )
+        if gn is not None:
+            return _simplify_tail(gn, cfg, stats, kmer_mapper)
 
     for it in range(cfg.cycle_iter_count):
         stats.iterations = it + 1
@@ -518,7 +539,10 @@ def simplify(
             changed += n
         n = remove_low_cov_ec(g, ec_len, icb)
         if cfg.rel_cov_enabled:
-            n += disconnect_relative_coverage(g, cfg.rel_cov_ratio, ec_len * 5)
+            fl = flanking(g) if callable(flanking) else flanking
+            n += disconnect_relative_coverage(
+                g, cfg.rel_cov_ratio, ec_len * 5, flanking=fl
+            )
         if n:
             g = compress(g)
         stats.ec += n

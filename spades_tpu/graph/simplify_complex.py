@@ -200,22 +200,104 @@ def clip_complex_tips(
     return removed
 
 
-def _plausible_path_exists(
-    g: CondensedGraph, v_from: int, v_to: int, avoid: set[int],
-    plausibility_length: int, max_hops: int = 8,
-) -> bool:
-    """Bounded hop search over plausible (long) edges from v_from to v_to,
-    via the vectorized Dijkstra framework (unit lengths = hop counting)."""
-    if v_from == v_to:
-        return True
-    from .dijkstra import bounded_dijkstra
+class _FlowNetwork:
+    """Residual flow network over component vertices + source/sink
+    (mf_ec_remover.hpp FlowGraph :21-131): integer capacities, residual
+    arcs created by pushes."""
 
-    lens = g.edge_kmer_lengths()
-    mask = g.alive & (lens >= plausibility_length)
-    if avoid:
-        mask[list(avoid)] = False
-    res = bounded_dijkstra(g, [v_from], max_hops, length="unit", edge_mask=mask)
-    return bool(np.isin(v_to, res.vertices))
+    SOURCE = -1
+    SINK = -2
+
+    def __init__(self):
+        self.cap: dict[int, dict[int, int]] = {self.SOURCE: {}, self.SINK: {}}
+
+    def add_vertex(self, v: int) -> None:
+        self.cap.setdefault(v, {})
+
+    def add_edge(self, u: int, v: int, capacity: int = 10000) -> None:
+        self.cap[u][v] = self.cap[u].get(v, 0) + capacity
+        self.cap[v].setdefault(u, 0)
+
+    def bfs_path(self) -> list[int] | None:
+        """Shortest augmenting path source->sink over positive-residual arcs
+        (the BFS of MaxFlowFinder::Find, :253-265)."""
+        prev = {self.SOURCE: self.SOURCE}
+        q = [self.SOURCE]
+        while q:
+            nq = []
+            for u in q:
+                for v, c in self.cap[u].items():
+                    if c > 0 and v not in prev:
+                        prev[v] = u
+                        if v == self.SINK:
+                            path = [v]
+                            while path[-1] != self.SOURCE:
+                                path.append(prev[path[-1]])
+                            return path[::-1]
+                        nq.append(v)
+            q = nq
+        return None
+
+    def max_flow(self) -> None:
+        while True:
+            path = self.bfs_path()
+            if path is None:
+                return
+            c = min(self.cap[u][v] for u, v in zip(path, path[1:]))
+            for u, v in zip(path, path[1:]):
+                self.cap[u][v] -= c
+                self.cap[v][u] = self.cap[v].get(u, 0) + c
+
+    def complete_flow(self) -> bool:
+        """All source/sink capacity saturated (CheckCompleteFlow :405-408)."""
+        return all(c == 0 for c in self.cap[self.SOURCE].values()) and all(
+            self.cap[u].get(self.SINK, 0) == 0 for u in self.cap
+        )
+
+    def residual_scc(self) -> dict[int, int]:
+        """SCC colouring of the residual graph (positive-capacity arcs) —
+        Kosaraju order as in TopSorter + ReverseDFSComponentFinder
+        (:267-336)."""
+        order: list[int] = []
+        visited: set[int] = set()
+        for root in self.cap:
+            if root in visited:
+                continue
+            stack = [(root, iter(self.cap[root].items()))]
+            visited.add(root)
+            while stack:
+                v, it = stack[-1]
+                advanced = False
+                for w, c in it:
+                    if c > 0 and w not in visited:
+                        visited.add(w)
+                        stack.append((w, iter(self.cap[w].items())))
+                        advanced = True
+                        break
+                if not advanced:
+                    order.append(v)
+                    stack.pop()
+        # reverse adjacency over positive residual arcs
+        radj: dict[int, list[int]] = {v: [] for v in self.cap}
+        for u, nbrs in self.cap.items():
+            for v, c in nbrs.items():
+                if c > 0:
+                    radj[v].append(u)
+        colour: dict[int, int] = {}
+        cc = 0
+        for v in reversed(order):
+            if v in colour:
+                continue
+            stack = [v]
+            colour[v] = cc
+            while stack:
+                u = stack.pop()
+                for w in radj[u]:
+                    if w not in colour:
+                        colour[w] = cc
+                        stack.append(w)
+            cc += 1
+        return colour
 
 
 def max_flow_ec_remover(
@@ -224,23 +306,94 @@ def max_flow_ec_remover(
     uniqueness_length: int = 1500,
     plausibility_length: int = 200,
 ) -> int:
-    """MaxFlowECRemover (mf_ec_remover.hpp:358-470, simplified): remove a
-    short implausible edge between unique long edges when plausible
-    alternative paths still connect its endpoints."""
+    """MaxFlowECRemover (mf_ec_remover.hpp:358-501): split the graph at
+    unique (>= uniqueness_length) edges, build a unit-capacity flow network
+    per component — plausible/unique incoming boundary edges feed the
+    source, outgoing ones the sink, inner short edges carry capacity 10000 —
+    compute max flow, and when the flow saturates completely, remove the
+    suspicious (short, non-tip) edges whose endpoints fall into different
+    SCCs of the residual network: exactly the edges that carry no flow in
+    ANY maximum flow."""
+    assert uniqueness_length >= plausibility_length > max_length
     lens = g.edge_kmer_lengths()
-    removed = 0
-    for e in list(g.alive_edge_ids()):
-        e = int(e)
-        if not g.alive[e] or lens[e] > max_length or lens[e] >= plausibility_length:
-            continue
+    ids = g.alive_edge_ids()
+    if ids.size == 0:
+        return 0
+    outd = g.out_degrees()
+    ind = g.in_degrees()
+
+    def is_tip(e: int) -> bool:
         s, t = int(g.e_start[e]), int(g.e_end[e])
-        in_unique = any(lens[int(x)] >= uniqueness_length for x in g.in_edges_of(s))
-        out_unique = any(lens[int(x)] >= uniqueness_length for x in g.out_edges_of(t))
-        if not (in_unique and out_unique):
+        return (outd[s] + ind[s]) == 1 or (outd[t] + ind[t]) == 1
+
+    # components separated by unique edges (LongEdgesExclusiveSplitter)
+    short = ids[lens[ids] < uniqueness_length]
+    parent = np.arange(g.num_vertices)
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for e in short:
+        a, b = find(int(g.e_start[e])), find(int(g.e_end[e]))
+        if a != b:
+            parent[a] = b
+    comp_of: dict[int, list[int]] = {}
+    used_vertices = np.unique(
+        np.concatenate([g.e_start[ids], g.e_end[ids]])
+    )
+    for v in used_vertices:
+        comp_of.setdefault(find(int(v)), []).append(int(v))
+
+    removed = 0
+    for comp in comp_of.values():
+        cset = set(comp)
+        fg = _FlowNetwork()
+        for v in comp:
+            fg.add_vertex(v)
+        has_inner = False
+        for v in comp:
+            for e in g.out_edges_of(v):
+                e = int(e)
+                t = int(g.e_end[e])
+                # inner short edge (ProcessShortEdge :424-428)
+                if lens[e] < uniqueness_length and t in cset:
+                    fg.add_edge(v, t, 10000)
+                    has_inner = True
+                # sink feed (ProcessSink :436-440)
+                if (lens[e] >= plausibility_length and not is_tip(e)) or lens[
+                    e
+                ] >= uniqueness_length:
+                    fg.add_edge(v, _FlowNetwork.SINK, 1)
+            for e in g.in_edges_of(v):
+                e = int(e)
+                # source feed (ProcessSource :430-434)
+                if (lens[e] >= plausibility_length and not is_tip(e)) or lens[
+                    e
+                ] >= uniqueness_length:
+                    fg.add_edge(_FlowNetwork.SOURCE, v, 1)
+        if not has_inner or not fg.cap[_FlowNetwork.SOURCE]:
             continue
-        avoid = {e, int(g.e_conj[e])}
-        if _plausible_path_exists(g, s, t, avoid, plausibility_length):
-            removed += g.kill_edges(np.array([e]))
+        fg.max_flow()
+        if not fg.complete_flow():
+            continue  # suspicious component, no deletion (:484-487)
+        colour = fg.residual_scc()
+        kill = []
+        for v in comp:
+            for e in g.out_edges_of(v):
+                e = int(e)
+                t = int(g.e_end[e])
+                if (
+                    t in cset
+                    and lens[e] <= max_length
+                    and not is_tip(e)
+                    and colour.get(v) != colour.get(t)
+                ):
+                    kill.append(e)
+        if kill:
+            removed += g.kill_edges(np.array(kill))
     return removed
 
 

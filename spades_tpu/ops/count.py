@@ -211,6 +211,50 @@ def _lexsort_rows(words: np.ndarray) -> np.ndarray:
     return np.lexsort(tuple(words[:, w] for w in range(words.shape[1] - 1, -1, -1)))
 
 
+def count_batch_host(
+    codes: np.ndarray, lengths: np.ndarray, n_mask: np.ndarray, k: int
+) -> KmerCounts:
+    """Host (numpy) counting of one batch: canonical windows -> sorted
+    unique rows with counts.
+
+    Small batches (prev-K contigs, tool inputs) are counted here so they do
+    not cost an XLA compile for their one-off shapes: in this environment
+    programs compile through a shared remote service with minutes-scale
+    latency, which dwarfs any device-side win on a few Mkmers (the reference
+    analogously special-cases small inputs onto the plain sorting splitter,
+    `kmer_splitters.hpp:139`)."""
+    R, L = codes.shape
+    W = K.kmer_words(k)
+    if R == 0 or L < k:
+        return KmerCounts(k=k, words=np.zeros((0, W), np.uint32),
+                          counts=np.zeros(0, np.int64))
+    P = L - k + 1
+    win = np.lib.stride_tricks.sliding_window_view(
+        np.ascontiguousarray(codes), k, axis=1
+    ).reshape(-1, k)
+    pos = np.tile(np.arange(P), R)
+    row = np.repeat(np.arange(R), P)
+    bad = np.lib.stride_tricks.sliding_window_view(
+        np.ascontiguousarray(n_mask), k, axis=1
+    ).any(axis=2).reshape(-1)
+    valid = (pos + k <= lengths[row]) & ~bad
+    if not valid.any():
+        return KmerCounts(k=k, words=np.zeros((0, W), np.uint32),
+                          counts=np.zeros(0, np.int64))
+    fwd = K.pack(win[valid])
+    rc = K.revcomp_words(fwd, k)
+    use_rc = K.lex_less(rc, fwd)
+    use_rc = np.asarray(use_rc)
+    canon = np.where(use_rc[:, None], rc, fwd)
+    order = _lexsort_rows(canon)
+    s = canon[order]
+    new = np.empty(len(s), bool)
+    new[0] = True
+    new[1:] = np.any(s[1:] != s[:-1], axis=1)
+    counts = np.diff(np.append(np.flatnonzero(new), len(s)))
+    return KmerCounts(k=k, words=s[new].copy(), counts=counts.astype(np.int64))
+
+
 def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
     """Merge sorted unique runs (host) — the loser-tree bucket merge.
 
@@ -258,13 +302,25 @@ def count_reads(batches, k: int, tile: int = 512) -> KmerCounts:
     buffer-flush/bucket-merge split (`kmer_index_builder.hpp:306-430`) with
     the per-thread buffer replaced by the whole device batch.
     """
+    import os
+
     from .pallas_kernels import supports_pallas
 
     use_pallas = supports_pallas()
+    # batches below this window count go to the host counter: an XLA compile
+    # for a one-off small shape costs far more than counting a few Mkmers in
+    # numpy (see count_batch_host)
+    host_thresh = int(os.environ.get("SPADES_HOST_COUNT_WINDOWS", 4_000_000))
     runs: list[KmerCounts] = []
     for b in batches:
         if isinstance(b, ReadBatch):
             if b.codes.shape[0] == 0 or b.codes.shape[1] < k:
+                continue
+            R, L = b.codes.shape
+            if R * (L - k + 1) < host_thresh:
+                r = count_batch_host(b.codes, b.lengths, b.n_mask, k)
+                if r.num_unique:
+                    runs.append(r)
                 continue
             # packed wire format: ~7x fewer bytes over the host->device link
             pc, pn, lengths, L = b.packed()

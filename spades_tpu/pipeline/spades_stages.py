@@ -103,8 +103,18 @@ class Simplification(AssemblyStage):
         # record bulge-glue substitutions so later mapping stages still hit
         # k-mers of removed arms (alignment/kmer_mapper.hpp role)
         ctx.kmer_mapper = KmerMapper(k=ctx.k)
+        flanking = None
+        if cfg.rel_cov_enabled and ctx.p1_counts is not None:
+            # LocalCoverage for the relative-coverage disconnector
+            # (detail_coverage.hpp role); callable so it refreshes after
+            # each compaction renumbering
+            from ..graph.flanking import build_flanking
+
+            p1 = ctx.p1_counts
+            flanking = lambda g: build_flanking(g, p1.words, p1.counts)
         ctx.graph, stats = simplify(
-            ctx.graph, ctx.genomic_info, cfg, kmer_mapper=ctx.kmer_mapper
+            ctx.graph, ctx.genomic_info, cfg, kmer_mapper=ctx.kmer_mapper,
+            flanking=flanking,
         )
         ctx.kmer_mapper.normalize()
         log.info(
@@ -552,6 +562,20 @@ class DistanceEstimation(AssemblyStage):
             return
         ctx.insert_size = ctx.is_stats.median
         ctx.paired_index = merge_paired_indices(pe_indices)
+        # contradiction removal + split-path fill-in before RR
+        # (distance_estimation_utils.cpp:141-143 PairInfoImprover)
+        from ..paired.pair_info_improver import improve_paired_info
+
+        ctx.paired_index, imp = improve_paired_info(
+            ctx.graph, ctx.paired_index,
+            insert_size=ctx.is_stats.median,
+            is_var=max(ctx.is_stats.mad, 1.0),
+        )
+        if imp.removed or imp.added:
+            log.info(
+                "pair info improver: removed %d contradictional, added %d",
+                imp.removed, imp.added,
+            )
         ctx.scaffold_index = merge_paired_indices(pe_indices + mp_indices)
         if mp_indices:
             ctx.mp_index = merge_paired_indices(mp_indices)

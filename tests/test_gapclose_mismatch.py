@@ -54,6 +54,48 @@ class TestGapCloser:
         assert seq == genome or seq == dna.revcomp_str(genome)
         g.check_invariants()
 
+    def test_corrects_overlap_errors_on_close(self):
+        """Overlap carries 2 errors on the left tip: the corrected splice
+        (CorrectLeft semantics, gap_closer.cpp:249-265) must yield an
+        error-free contig."""
+        genome = _random_genome(1000, seed=7)
+        # left tip built from a corrupted copy: 2 errors inside the k-1
+        # overlap region [501, 520)
+        bad = list(genome)
+        for pos in (505, 512):
+            bad[pos] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bad[pos]]
+        bad = "".join(bad)
+        reads = _tile(bad, 0, 520) + _tile(genome, 500, len(genome))
+        g = construct_graph(reads, K, min_count=1).graph
+        assert len(g.canonical_edge_ids()) == 2
+        r1, r2 = _pairs(genome, 300, 800)
+        closed = close_gaps(g, [(r1, r2)])
+        assert closed == 1
+        ids = g.canonical_edge_ids()
+        assert len(ids) == 1
+        seq = g.edge_seq(int(ids[0]))
+        assert seq == genome or seq == dna.revcomp_str(genome), \
+            "closed contig must carry the corrected (clean) overlap"
+        g.check_invariants()
+
+    def test_rejects_low_complexity_overlap(self):
+        """Poly-A overlap at minimal intersection must be disregarded
+        (gap_closer.cpp:337-352 complexity guard)."""
+        from spades_tpu.alignment.gap_closer import (
+            GapCloserConfig, _join_with_correction,
+        )
+
+        rng = np.random.default_rng(5)
+        cfg = GapCloserConfig()
+        k = 21
+        tail = np.concatenate([
+            rng.integers(0, 4, 100).astype(np.uint8), np.zeros(20, np.uint8)
+        ])
+        head = np.concatenate([
+            np.zeros(20, np.uint8), rng.integers(0, 4, 100).astype(np.uint8)
+        ])
+        assert _join_with_correction(tail, head, k, cfg) is None
+
     def test_no_pairs_no_close(self):
         genome = _random_genome(1000, seed=2)
         g = self._gapped_graph(genome)

@@ -127,6 +127,44 @@ class TestMaxFlowEC:
         assert not g.alive[e_bad]
         assert g.alive[e_alt] and g.alive[e_in] and g.alive[e_out]
 
+    def test_flow_keeps_needed_edge_despite_plausible_alternative(self, rng):
+        """The flow argument must KEEP a short edge that carries irreplaceable
+        flow even though a plausible alternative path exists — the case a
+        bare connectivity check gets wrong (mf_ec_remover.hpp:484-487:
+        incomplete flow => no deletion).  Two unique strands enter s but only
+        one can leave through the plausible relay path; the short edge must
+        carry the second."""
+        k = 5
+        g = empty_graph(k)
+        a1, a2, s, p, t, d = add_vertices(g, 6)
+        mk = lambda n: dna.encode(random_dna(rng, n))
+        g.add_edge_pair(a1, s, mk(3000), 100.0)   # unique in #1
+        g.add_edge_pair(a2, s, mk(3000), 100.0)   # unique in #2
+        e_bad, _ = g.add_edge_pair(s, t, mk(30), 3.0)   # short, flow-needed
+        g.add_edge_pair(s, p, mk(500), 100.0)     # plausible relay 1
+        g.add_edge_pair(p, t, mk(500), 100.0)     # plausible relay 2
+        g.add_edge_pair(t, d, mk(3000), 200.0)    # unique out
+        n = max_flow_ec_remover(g, max_length=100, uniqueness_length=1500,
+                                plausibility_length=200)
+        assert n == 0
+        assert g.alive[e_bad]
+
+    def test_flow_removes_zero_flow_edge_in_balanced_component(self, rng):
+        """Balanced component where the short edge carries no flow in any
+        maximum flow: residual SCC colouring separates its endpoints."""
+        k = 5
+        g = empty_graph(k)
+        a, b, c, d, x, y = add_vertices(g, 6)
+        mk = lambda n: dna.encode(random_dna(rng, n))
+        g.add_edge_pair(a, b, mk(3000), 100.0)    # unique in at b
+        g.add_edge_pair(b, c, mk(500), 100.0)     # plausible carrier
+        e_bad, _ = g.add_edge_pair(b, c, mk(40), 2.0)   # chimeric shortcut
+        g.add_edge_pair(c, d, mk(3000), 100.0)    # unique out at c
+        n = max_flow_ec_remover(g, max_length=100, uniqueness_length=1500,
+                                plausibility_length=200)
+        assert n == 2
+        assert not g.alive[e_bad]
+
     def test_keeps_edge_without_alternative(self, rng):
         k = 5
         g = empty_graph(k)
