@@ -99,6 +99,7 @@ def candidate_weights(
     cands: list[int],
     cand_pos: int,
     cfg: PEConfig,
+    edge_use_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Normalized paired support for every candidate in ONE vectorized pass
     per path edge (PathCoverWeightCounter::CountWeight,
@@ -122,7 +123,9 @@ def candidate_weights(
     raw = np.zeros(C)
     support = np.zeros(C)
     ideal_tot = np.zeros(C)
-    for e, p in zip(path.edges, pos):
+    for i, (e, p) in enumerate(zip(path.edges, pos)):
+        if edge_use_mask is not None and not edge_use_mask[i]:
+            continue  # ExcludingExtensionChooser::ExcludeEdges semantics
         dist = int(cand_pos - p)
         elen = int(g.e_len[e]) - g.k
         if dist - elen > cfg.insert_size + delta:
@@ -241,10 +244,179 @@ def resolve_short_loop(g: CondensedGraph, path: Path, cfg: PEConfig) -> bool:
     return True
 
 
-def extend_path_forward(
-    g: CondensedGraph, pi: PairedIndex, path: Path, cfg: PEConfig, long_reads=None
+class PEChooser:
+    """SimpleExtensionChooser over one paired library's clustered index
+    (`extension_chooser.hpp` Simple/LongEdge/RNA variants, selected by
+    flags): normalized paired support + relative-priority filter.
+
+    min_path_edge_nt > 0 gives LongEdgeExtensionChooser (:603-628): path
+    edges shorter than that contribute no weight (mate-pair libraries).
+    rna=True gives RNAExtensionChooser (:573-600): trailing simple-path
+    edges back to the last branching vertex are excluded unless that reaches
+    the path start."""
+
+    def __init__(self, pi: PairedIndex, insert_size: float | None = None,
+                 is_var: float | None = None, min_path_edge_nt: int = 0,
+                 rna: bool = False):
+        self.pi = pi
+        self.insert_size = insert_size
+        self.is_var = is_var
+        self.min_path_edge_nt = min_path_edge_nt
+        self.rna = rna
+
+    def _use_mask(self, g, path: Path) -> np.ndarray | None:
+        n = len(path.edges)
+        mask = np.ones(n, bool)
+        if self.min_path_edge_nt > 0:
+            for i, e in enumerate(path.edges):
+                if int(g.e_len[e]) < self.min_path_edge_nt:
+                    mask[i] = False
+        if self.rna and n >= 2:
+            ind = g.in_degrees()
+            i = n - 1
+            excluded = []
+            while i > 0:
+                if ind[int(g.e_start[path.edges[i]])] > 1:
+                    break
+                excluded.append(i)
+                i -= 1
+            if i > 0:
+                mask[excluded] = False
+        return mask if not mask.all() else None
+
+    def choose(self, g, path: Path, pos, cands: list[int], cand_pos: int,
+               cfg: PEConfig) -> int | None:
+        eff = cfg
+        if self.insert_size is not None:
+            from dataclasses import replace
+
+            eff = replace(cfg, insert_size=self.insert_size,
+                          is_var=self.is_var if self.is_var is not None else cfg.is_var)
+        weights, normalized = candidate_weights(
+            g, self.pi, path, pos, cands, cand_pos, eff,
+            edge_use_mask=self._use_mask(g, path),
+        )
+        best = int(np.argmax(weights))
+        threshold = eff.weight_threshold if normalized else eff.min_weight
+        if weights[best] >= threshold:
+            strong = np.flatnonzero(weights >= eff.rel_weight * weights[best])
+            if strong.size == 1:
+                return cands[best]
+        return None
+
+
+class CoverageChooser:
+    """SimpleCoverageExtensionChooser (extension_chooser.hpp:284-396):
+    strand-specific coverage disambiguates 2-way RNA splits — the candidate
+    whose coverage matches the path's side of the last 2-in split wins."""
+
+    def __init__(self, ss_cov: np.ndarray, coverage_margin: float = 2.0,
+                 max_coverage_variation: float = 3.0,
+                 min_upper_coverage: float = 5.0):
+        self.ss = ss_cov
+        self.margin = coverage_margin
+        self.variation = max_coverage_variation
+        self.min_upper = min_upper_coverage
+
+    def _cov(self, g, e: int, reverse: bool) -> float:
+        return float(self.ss[int(g.e_conj[e])] if reverse else self.ss[int(e)])
+
+    @staticmethod
+    def _similar(c1: float, c2: float, thr: float) -> bool:
+        if c1 == 0.0 or c2 == 0.0:
+            return False
+        return max(c1, c2) / min(c1, c2) <= thr
+
+    def choose(self, g, path: Path, pos, cands: list[int], cand_pos: int,
+               cfg: PEConfig) -> int | None:
+        if len(cands) != 2:
+            return None
+        ind = g.in_degrees()
+        idx = len(path.edges) - 1
+        while idx > 0:
+            if ind[int(g.e_start[path.edges[idx]])] == 2:
+                break
+            idx -= 1
+        if idx == 0:
+            return None
+        at_split = int(path.edges[idx - 1])
+        split_v = int(g.e_end[at_split])
+        other = next(
+            (int(e) for e in g.in_edges_of(split_v) if int(e) != at_split), None
+        )
+        if other is None:
+            return None
+        reverse = self._cov(g, at_split, False) < self._cov(g, at_split, True)
+        cov_path = self._cov(g, at_split, reverse)
+        cov_other = self._cov(g, other, reverse)
+        c1 = self._cov(g, cands[0], reverse)
+        c2 = self._cov(g, cands[1], reverse)
+        if self._similar(cov_path, cov_other, self.margin) or self._similar(
+            c1, c2, self.margin
+        ):
+            return None
+        hp, lp = max(cov_path, cov_other), min(cov_path, cov_other)
+        he, le = max(c1, c2), min(c1, c2)
+        enough = lambda lo, hi: lo == 0.0 or hi >= self.min_upper
+        if not enough(lp, hp) or not enough(le, he):
+            return None
+        if cov_path > cov_other:
+            if self._similar(hp, he, self.variation):
+                return cands[0] if c1 > c2 else cands[1]
+        else:
+            if self._similar(lp, le, self.variation):
+                return cands[0] if c1 < c2 else cands[1]
+        return None
+
+
+class LongReadChooser:
+    """LongReadsExtensionChooser role: unique dominant long-read vote."""
+
+    def __init__(self, long_reads):
+        self.long_reads = long_reads
+
+    def choose(self, g, path: Path, pos, cands: list[int], cand_pos: int,
+               cfg: PEConfig) -> int | None:
+        return _long_read_choice(self.long_reads, path.edges[-1], cands)
+
+
+def make_chooser_chain(
+    pair_libs=None,
+    long_reads=None,
+    ss_cov: np.ndarray | None = None,
+    mode: str = "multicell",
+    merged_pi: PairedIndex | None = None,
+) -> list:
+    """Build the composite chooser chain in the reference's extender order
+    (`pipeline/extenders_logic.cpp:469-548` MakeBasicExtenders): long-read
+    extenders first, then per-library PE (LongEdgePE for mate-pairs, RNA
+    chooser in rna mode), then the coverage extender (rna ss data).
+
+    pair_libs: list of (lib_type, PairedIndex, InsertSizeStats)."""
+    chain: list = []
+    if long_reads is not None:
+        chain.append(LongReadChooser(long_reads))
+    for lib_type, pi, st in pair_libs or []:
+        is_ = st.median if st is not None and st.count else None
+        var = max(st.mad, 10.0) if st is not None and st.count else None
+        if lib_type == "mate-pairs":
+            chain.append(PEChooser(pi, is_, var, min_path_edge_nt=200))
+        elif mode == "rna":
+            chain.append(PEChooser(pi, is_, var, rna=True))
+        else:
+            chain.append(PEChooser(pi, is_, var))
+    if not (pair_libs) and merged_pi is not None:
+        chain.append(PEChooser(merged_pi, rna=(mode == "rna")))
+    if mode == "rna" and ss_cov is not None:
+        chain.append(CoverageChooser(ss_cov))
+    return chain
+
+
+def _extend_step(
+    g: CondensedGraph, path: Path, cfg: PEConfig, choosers: list
 ) -> bool:
-    """Try one forward extension step; returns True if extended."""
+    """One forward growth step through the composite chain
+    (CompositeExtender::MakeGrowStep: first chooser that decides wins)."""
     last = path.edges[-1]
     v = int(g.e_end[last])
     cands = [int(e) for e in g.out_edges_of(v)]
@@ -265,29 +437,40 @@ def extend_path_forward(
         return True
     pos = path_positions(g, path)
     cand_pos = int(pos[-1]) + int(g.e_len[last]) - g.k
-    weights, normalized = candidate_weights(g, pi, path, pos, cands, cand_pos, cfg)
-    best = int(np.argmax(weights))
-    threshold = cfg.weight_threshold if normalized else cfg.min_weight
-    choice: int | None = None
-    if weights[best] >= threshold:
-        strong = np.flatnonzero(weights >= cfg.rel_weight * weights[best])
-        if strong.size == 1:
-            choice = cands[best]
-    if choice is None:
-        # paired info ambiguous: a long-read path over the junction decides
-        # (extenders_logic.cpp long-read extender in the composite chain)
-        choice = _long_read_choice(long_reads, last, cands)
-    if choice is None:
-        return False  # ambiguous — stop
-    path.edges.append(choice)
-    path.gaps.append(0)
-    return True
+    for chooser in choosers:
+        choice = chooser.choose(g, path, pos, cands, cand_pos, cfg)
+        if choice is not None:
+            path.edges.append(choice)
+            path.gaps.append(0)
+            return True
+    return False  # ambiguous — stop
+
+
+def extend_path_forward(
+    g: CondensedGraph, pi: PairedIndex, path: Path, cfg: PEConfig, long_reads=None
+) -> bool:
+    """Try one forward extension step; returns True if extended.
+
+    Back-compat wrapper over the composite chain: one PE chooser over the
+    merged index, with the long-read chooser as tie-breaker."""
+    choosers: list = [PEChooser(pi)]
+    if long_reads is not None:
+        choosers.append(LongReadChooser(long_reads))
+    return _extend_step(g, path, cfg, choosers)
 
 
 def resolve_repeats(
-    g: CondensedGraph, pi: PairedIndex, cfg: PEConfig, long_reads=None
+    g: CondensedGraph, pi: PairedIndex, cfg: PEConfig, long_reads=None,
+    choosers: list | None = None,
 ) -> list[Path]:
-    """Greedy seed-and-extend over all edges, longest seeds first."""
+    """Greedy seed-and-extend over all edges, longest seeds first.
+
+    choosers: explicit composite chooser chain (make_chooser_chain); when
+    None, one PE chooser over `pi` plus the long-read tie-breaker."""
+    if choosers is None:
+        choosers = [PEChooser(pi)]
+        if long_reads is not None:
+            choosers.append(LongReadChooser(long_reads))
     ids = g.canonical_edge_ids()
     order = sorted(ids, key=lambda e: (-int(g.e_len[e]), int(e)))
     used: set[int] = set()
@@ -298,10 +481,10 @@ def resolve_repeats(
             continue
         path = Path([seed])
         # extend forward, then extend the conjugate forward (== backward)
-        while extend_path_forward(g, pi, path, cfg, long_reads):
+        while _extend_step(g, path, cfg, choosers):
             pass
         path = conj_path(g, path)
-        while extend_path_forward(g, pi, path, cfg, long_reads):
+        while _extend_step(g, path, cfg, choosers):
             pass
         path = conj_path(g, path)  # restore original orientation
         for e in path.edges:
@@ -309,6 +492,107 @@ def resolve_repeats(
             used.add(int(g.e_conj[e]))
         paths.append(path)
     return remove_contained(g, paths)
+
+
+def traverse_loops(
+    g: CondensedGraph,
+    paths: list[Path],
+    cfg: PEConfig,
+    long_edge_limit: int = 1000,
+    component_size_limit: int = 10,
+    shortest_path_limit: int = 1000,
+) -> int:
+    """LoopTraverser (loop_traverser.{hpp,cpp}; pe_params loop_traversal
+    min_edge_length=1000 max_component_size=10 max_path_length=1000): for
+    every small short-edge component with a unique entrance and exit edge,
+    when exactly one path ends through the entrance and exactly one starts
+    from the exit, join them — through the shortest connecting path inside
+    the component when one exists within the limit, else with a 100-N gap.
+    Mutates `paths` in place; returns the number of joins."""
+    lens_nt = g.e_len
+    ids = g.alive_edge_ids()
+    if ids.size == 0 or not paths:
+        return 0
+    # short-edge components (the loop candidates)
+    parent = np.arange(g.num_vertices)
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    short = ids[lens_nt[ids] < long_edge_limit]
+    for e in short:
+        a, b = find(int(g.e_start[e])), find(int(g.e_end[e]))
+        if a != b:
+            parent[a] = b
+    comps: dict[int, set[int]] = {}
+    for e in short:
+        comps.setdefault(find(int(g.e_start[e])), set()).update(
+            (int(g.e_start[e]), int(g.e_end[e]))
+        )
+    # path lookup by first/last edge
+    joins = 0
+    outd = g.out_degrees()
+    ind = g.in_degrees()
+    for comp in comps.values():
+        if len(comp) > component_size_limit or len(comp) < 2:
+            continue
+        # no tips inside (AnyTipsInComponent)
+        if any(outd[v] + ind[v] <= 1 for v in comp):
+            continue
+        entr = [
+            int(e)
+            for v in comp
+            for e in g.in_edges_of(v)
+            if int(g.e_start[e]) not in comp
+        ]
+        exits = [
+            int(e)
+            for v in comp
+            for e in g.out_edges_of(v)
+            if int(g.e_end[e]) not in comp
+        ]
+        if len(entr) != 1 or len(exits) != 1:
+            continue
+        start, end = entr[0], exits[0]
+        # covering paths of the entrance / exit edges (GetCoveringPaths)
+        p1s = [p for p in paths if any(int(e) == start for e in p.edges)]
+        p2s = [p for p in paths if any(int(e) == end for e in p.edges)]
+        if len(p1s) != 1 or len(p2s) != 1 or p1s[0] is p2s[0]:
+            continue
+        p1, p2 = p1s[0], p2s[0]
+        if any(int(e) == end for e in p1.edges):
+            continue  # already routed through
+        # the start path must END inside the component after the entrance,
+        # and the end path must BEGIN inside it (IsEndInsideComponent)
+        i1 = max(i for i, e in enumerate(p1.edges) if int(e) == start)
+        if any(int(g.e_end[e]) not in comp for e in p1.edges[i1:]):
+            continue
+        i2 = min(i for i, e in enumerate(p2.edges) if int(e) == end)
+        if any(int(g.e_start[e]) not in comp for e in p2.edges[: i2 + 1]):
+            continue
+        # conjugate-pair guard: joining a path with its own conjugate
+        if [int(g.e_conj[e]) for e in reversed(p2.edges)] == [int(e) for e in p1.edges]:
+            continue
+        from ..graph.dijkstra import shortest_path as _sp
+
+        mid = _sp(
+            g, int(g.e_end[start]), int(g.e_start[end]),
+            shortest_path_limit, length="kmer",
+        )
+        if mid is not None:
+            p1.edges.extend(int(x) for x in mid)
+            p1.gaps.extend([0] * len(mid))
+            gap0 = 0
+        else:
+            gap0 = g.k + 100  # BASIC_N_CNT
+        p1.edges.extend(int(e) for e in p2.edges)
+        p1.gaps.extend([gap0] + list(p2.gaps[1:]))
+        paths.remove(p2)
+        joins += 1
+    return joins
 
 
 def remove_contained(g: CondensedGraph, paths: list[Path]) -> list[Path]:

@@ -174,6 +174,13 @@ class SSEdgeSplit(AssemblyStage):
         splitter.fill(ctx.reads, rf=self.ss_type == "rf")
         n = splitter.split_edges()
         log.info("ss edge splitter: split %d edges", n)
+        # strand-specific per-edge coverage for the RNA coverage chooser
+        # (SimpleCoverageExtensionChooser input, extenders_logic.cpp:460-466)
+        from ..alignment.ss_coverage import fill_ss_coverage
+
+        ctx.ss_cov = fill_ss_coverage(
+            ctx.graph, ctx.reads, rf=self.ss_type == "rf"
+        )
 
 
 class SeriesAnalysis(AssemblyStage):
@@ -607,10 +614,12 @@ class RepeatResolution(AssemblyStage):
         from ..io.contigs import Contig
         from ..paired.path_extend import (
             PEConfig,
+            make_chooser_chain,
             path_coverage,
             path_sequence,
             resolve_repeats,
             scaffold_paths,
+            traverse_loops,
         )
 
         if ctx.graph is None or ctx.graph.num_edges == 0:
@@ -633,7 +642,27 @@ class RepeatResolution(AssemblyStage):
             is_var=max(is_stats.mad, 10.0),
             read_length=ctx.read_length,
         )
-        paths = resolve_repeats(ctx.graph, pi, cfg, ctx.long_read_storage)
+        # per-library composite extender chain in the reference's order
+        # (extenders_logic.cpp:469-548); clustered per-lib indices come from
+        # DistanceEstimation's raw_pair_libs pass
+        from ..paired.distance_estimation import estimate_distances
+
+        lib_chain = [
+            (lt, estimate_distances(raw, lt), st)
+            for lt, raw, st in (ctx.raw_pair_libs or [])
+        ]
+        ss_cov = getattr(ctx, "ss_cov", None)
+        choosers = make_chooser_chain(
+            pair_libs=lib_chain,
+            long_reads=ctx.long_read_storage,
+            ss_cov=ss_cov,
+            mode=ctx.mode,
+            merged_pi=pi,
+        )
+        paths = resolve_repeats(ctx.graph, pi, cfg, choosers=choosers)
+        n_loops = traverse_loops(ctx.graph, paths, cfg)
+        if n_loops:
+            log.info("loop traverser joined %d path pairs", n_loops)
         log.info("%d paths after extension", len(paths))
 
         def to_contigs(path_list, prefix="NODE"):

@@ -52,6 +52,7 @@ class AssemblyContext:
     read_length: int = 100
     insert_size: float = 0.0
     long_read_storage: Any = None                       # LongReadStorage
+    ss_cov: Any = None                                  # strand-specific coverage (rna)
     kmer_mapper: Any = None                             # alignment.kmer_mapper.KmerMapper
     # paired-info pack (UnclusteredPairedInfoIndices / clustered indices of
     # the reference GraphPack, graph_pack.cpp:30-53)
