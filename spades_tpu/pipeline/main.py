@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
     adv.add_argument("--grid-time", default=None, help="wall-time limit for --grid-engine")
     adv.add_argument("--grid-nnodes", type=int, default=1, help="node count for --grid-engine")
     adv.add_argument("--grid-extra", default=None, help="extra scheduler directives for --grid-engine")
+    adv.add_argument("--coordinator", default=None,
+                     help="multi-host run: jax coordination address host:port (spades-hpc / mpiexec analog)")
+    adv.add_argument("--num-processes", type=int, default=1,
+                     help="multi-host run: total process count")
+    adv.add_argument("--process-id", type=int, default=None,
+                     help="multi-host run: this process's rank")
     adv.add_argument("--tmp-dir", default=None, help="directory for temporary files")
     adv.add_argument("--disable-rr", action="store_true",
                      help="skip repeat resolution: output simplified graph edges as contigs")
@@ -219,6 +225,13 @@ def main(argv=None) -> int:
     log = logging.getLogger("spades_tpu")
     if args.debug:
         logging.getLogger().setLevel(logging.DEBUG)
+    if args.num_processes > 1:
+        # multi-host run: join the jax coordination service before any
+        # backend use (the spades-hpc MPI_Init point, main_mpi.cpp:73)
+        from ..parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        log.info("multi-host: process %s of %d", args.process_id, args.num_processes)
     if args.time_tracing:
         from ..utils import timetracer
 

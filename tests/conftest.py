@@ -84,3 +84,7 @@ def random_condensed_graph(rng, n_long: int = 6, k: int = 21, mutate: int = 3):
             reads.append(s[a : a + 100])
     res = construct_graph(reads, k)
     return res.graph
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running scale/e2e tests")
