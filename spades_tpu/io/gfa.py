@@ -58,14 +58,23 @@ def write_gfa(
         n, o = names[int(e)]
         return n + o
 
+    from .. import __version__
+
     with open(path, "w") as fh:
-        fh.write(f"H\tVN:Z:{version}\tsp:Z:spades-tpu\n")
+        # reference header is `H\tsp:Z:<flavour>-<package>`
+        # (gfa_writer.cpp:113-116); we additionally keep the GFA-spec VN tag
+        # so the requested version is observable (documented divergence)
+        fh.write(f"H\tVN:Z:{version}\tsp:Z:spades-tpu-{__version__}\n")
         for e in g.canonical_edge_ids():
             e = int(e)
             name, _ = names[e]
             seq = g.edge_seq(e)
+            # DP:f: is `<< float(cov)` in the reference (gfa_writer.cpp
+            # WriteSegment): 32-bit float through default ostream precision
+            # (6 significant digits, general format)
+            dp = f"{float(np.float32(cov[e])):.6g}"
             fh.write(
-                f"S\t{name}\t{seq}\tDP:f:{cov[e]:.6f}\tKC:i:{int(round(g.e_cov[e]))}\n"
+                f"S\t{name}\t{seq}\tDP:f:{dp}\tKC:i:{int(round(g.e_cov[e]))}\n"
             )
         # links: for every vertex, each incoming edge connects to each
         # outgoing edge with a k-overlap
