@@ -45,6 +45,11 @@ def quals_to_array(quals: list[str], L: int, offset: int = 33) -> np.ndarray:
 
     Positions beyond a read's length get error prob 1.0 (no information)."""
     R = len(quals)
+    # uniform-length fast path (the overwhelmingly common case): one
+    # frombuffer over the joined strings instead of a per-read Python loop
+    if R and all(len(q) == L for q in quals):
+        a = np.frombuffer("".join(quals).encode("ascii"), np.uint8).reshape(R, L)
+        return phred_to_err(a, offset)
     err = np.ones((R, L), np.float32)
     for i, qs in enumerate(quals):
         if not qs:
@@ -153,6 +158,69 @@ def _consensus_center(codes: np.ndarray, counts: np.ndarray, errp: np.ndarray) -
     return votes.argmax(axis=1).astype(np.uint8)
 
 
+def batched_lmeans(
+    codes: np.ndarray,
+    counts: np.ndarray,
+    errp: np.ndarray,
+    max_l: int = 5,
+    iters: int = 4,
+) -> np.ndarray:
+    """BIC-scored l-means over MANY equal-size clusters at once.
+
+    codes: (C, M, k) uint8 member bases; counts: (C, M) multiplicities; errp:
+    (C, M, k) per-position error probabilities.  Returns sub-labels (C, M)
+    int32.  Semantics identical to the per-cluster lMeansClustering loop
+    (kmer_cluster.cpp): candidate center counts l = 1..max_l, members assigned
+    to the likeliest center, centers re-fit as quality-weighted consensi
+    (empty sub-centers keep their previous value), assignment iteration stops
+    per cluster at its own fixpoint, model chosen per cluster by BIC with k*l
+    free parameters and degenerate (empty-sub-cluster) solutions skipped.
+    The cluster axis is the TPU-host analog of the reference's OpenMP outer
+    loop over clusters — one vectorized sweep instead of C scalar calls."""
+    C, M, k = codes.shape
+    e = np.clip(errp, 1e-10, 0.75)
+    log_err = np.log(e / 3.0).astype(np.float64)
+    log_match = np.log1p(-e).astype(np.float64)
+    order = np.argsort(-counts, axis=1, kind="stable")
+    total = counts.sum(axis=1).astype(np.float64)
+    w_vote = (counts[..., None] * (1.0 - np.clip(errp, 0.0, 0.99))).astype(np.float64)
+    ci = np.arange(C)[:, None]
+    kpos = np.arange(k)[None, None, :]
+    best_labels = np.zeros((C, M), np.int32)
+    best_bic = np.full(C, -np.inf)
+    for l in range(1, min(max_l, M) + 1):
+        centers = codes[ci, order[:, :l]].copy()  # (C, l, k) top-count seeds
+        assign = np.zeros((C, M), np.int64)
+        conv = np.zeros(C, bool)
+        for _ in range(iters):
+            diff = codes[:, :, None, :] != centers[:, None, :, :]  # (C,M,l,k)
+            ll = np.where(diff, log_err[:, :, None, :], log_match[:, :, None, :]).sum(-1)
+            new_assign = ll.argmax(-1)  # (C, M)
+            conv = conv | (new_assign == assign).all(axis=1)
+            assign = np.where(conv[:, None], assign, new_assign)
+            if conv.all():
+                break
+            # re-fit centers as quality-weighted consensi (scatter-add votes)
+            flat = (((ci * l + assign)[..., None] * k + kpos) * 4 + codes).ravel()
+            votes = np.bincount(flat, weights=w_vote.ravel(), minlength=C * l * k * 4)
+            votes = votes.reshape(C, l, k, 4)
+            new_centers = votes.argmax(-1).astype(np.uint8)
+            has = np.zeros((C, l), bool)
+            has[ci, assign] = True  # sub-centers with >=1 member
+            keep = conv[:, None] | ~has  # converged cluster or empty sub-center
+            centers = np.where(keep[..., None], centers, new_centers)
+        cc = centers[ci, assign]  # (C, M, k) each member's center
+        llm = np.where(codes != cc, log_err, log_match).sum(-1)
+        logl = (counts * llm).sum(axis=1)
+        used = np.zeros((C, l), bool)
+        used[ci, assign] = True
+        bic = 2.0 * logl - l * k * np.log(np.maximum(total, 2.0))
+        ok = (used.sum(axis=1) == l) & (bic > best_bic)
+        best_bic = np.where(ok, bic, best_bic)
+        best_labels[ok] = assign[ok].astype(np.int32)
+    return best_labels
+
+
 def bayes_subcluster(
     codes: np.ndarray,
     counts: np.ndarray,
@@ -162,46 +230,13 @@ def bayes_subcluster(
 ) -> np.ndarray:
     """Split one Hamming cluster into sub-clusters by BIC-scored l-means.
 
-    codes: (n, k) uint8 member bases; counts: (n,) multiplicities; errp:
-    (n, k) per-position error probabilities.  Returns sub-labels (n,) int32.
-
-    Mirrors lMeansClustering (kmer_cluster.cpp): candidate center counts
-    l = 1..max_l, members assigned to the likeliest center, centers re-fit as
-    quality-weighted consensi, model chosen by BIC with k*l free parameters."""
-    n, k = codes.shape
+    Single-cluster view over `batched_lmeans` (C == 1)."""
+    n, _ = codes.shape
     if n == 1:
         return np.zeros(1, np.int32)
-    order = np.argsort(-counts, kind="stable")
-    total = float(counts.sum())
-    best_labels = np.zeros(n, np.int32)
-    best_bic = -np.inf
-    for l in range(1, min(max_l, n) + 1):
-        centers = codes[order[:l]].copy()
-        assign = np.zeros(n, np.int64)
-        for _ in range(iters):
-            # assignment by quality-weighted log-likelihood to each center
-            ll = np.empty((n, l))
-            e = np.clip(errp, 1e-10, 0.75)
-            for c in range(l):
-                diff = codes != centers[c]
-                ll[:, c] = np.where(diff, np.log(e / 3.0), np.log1p(-e)).sum(axis=1)
-            new_assign = ll.argmax(axis=1)
-            if np.array_equal(new_assign, assign):
-                break
-            assign = new_assign
-            for c in range(l):
-                m = assign == c
-                if m.any():
-                    centers[c] = _consensus_center(codes[m], counts[m], errp[m])
-        # skip degenerate solutions (empty sub-cluster)
-        if len(np.unique(assign)) < l:
-            continue
-        logl = _loglike(codes, counts, errp, centers, assign)
-        bic = 2.0 * logl - l * k * np.log(max(total, 2.0))
-        if bic > best_bic:
-            best_bic = bic
-            best_labels = assign.astype(np.int32)
-    return best_labels
+    return batched_lmeans(
+        codes[None], counts[None].astype(np.float64), errp[None], max_l, iters
+    )[0]
 
 
 def subcluster_all(
@@ -222,26 +257,38 @@ def subcluster_all(
     lab_sorted = labels[order]
     starts = np.flatnonzero(np.concatenate([[True], lab_sorted[1:] != lab_sorted[:-1]]))
     ends = np.append(starts[1:], len(order))
+    sizes = ends - starts
+    n_clusters = len(starts)
+
+    # per-cluster sub-label array, filled bucket by bucket (clusters of the
+    # SAME size batch into one (C, M, k) `batched_lmeans` call — the host
+    # analog of the reference's parallel outer loop over clusters)
+    sub_of = np.zeros(len(labels), np.int64)  # sub-label per element (by order pos)
+    nsub_of = np.ones(n_clusters, np.int64)   # sub-cluster count per cluster
+    eligible = (sizes >= 2) & (sizes <= max_members)
+    for m in np.unique(sizes[eligible]):
+        rows = np.flatnonzero(eligible & (sizes == m))
+        # (C, M) member positions in `order`
+        pos = starts[rows][:, None] + np.arange(m)[None, :]
+        members = order[pos]  # (C, M) global k-mer rows
+        sub = batched_lmeans(
+            codes_all[members],
+            counts[members].astype(np.float64),
+            kq.pos_err_prob(members.ravel()).reshape(len(rows), m, k),
+        )
+        sub_of[pos.ravel()] = sub.ravel()
+        nsub_of[rows] = sub.max(axis=1) + 1
+
+    # dense renumber: cluster c's sub-label s -> base[c] + s
+    base = np.concatenate([[0], np.cumsum(nsub_of)[:-1]])
+    cluster_of_pos = np.repeat(np.arange(n_clusters), sizes)
     new_labels = np.empty(len(labels), np.int64)
-    next_id = 0
-    split = 0
-    for a, b in zip(starts, ends):
-        members = order[a:b]
-        nsub = 1
-        if 2 <= len(members) <= max_members:
-            sub = bayes_subcluster(
-                codes_all[members], counts[members], kq.pos_err_prob(members)
-            )
-            nsub = int(sub.max()) + 1
-            new_labels[members] = next_id + sub
-        else:
-            new_labels[members] = next_id
-        if nsub > 1:
-            split += 1
-        next_id += nsub
+    # sub_of is indexed by position in `order`
+    new_labels[order] = base[cluster_of_pos] + sub_of
+    split = int((nsub_of > 1).sum())
     if split:
         log.info("hammer: Bayesian subclustering split %d clusters (%d -> %d)",
-                 split, len(starts), next_id)
+                 split, n_clusters, int(nsub_of.sum()))
     return new_labels
 
 

@@ -63,12 +63,18 @@ class DSU:
         self.size[ra] += self.size[rb]
 
     def labels(self) -> np.ndarray:
-        """Dense cluster ids (0..C-1) for every element."""
-        n = len(self.parent)
-        roots = np.empty(n, np.int64)
-        for i in range(n):
-            roots[i] = self.find(i)
-        _, labels = np.unique(roots, return_inverse=True)
+        """Dense cluster ids (0..C-1) for every element.
+
+        Roots found by vectorized pointer doubling (p <- p[p] to fixpoint),
+        the same trick the condensation engine uses for list ranking."""
+        p = self.parent
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        self.parent = p
+        _, labels = np.unique(p, return_inverse=True)
         return labels
 
 
@@ -84,13 +90,17 @@ def _cluster_block(
     tau: int,
     dsu: DSU,
     cap: int,
+    blocks: list,
 ) -> None:
-    """Union pairs with distance <= tau inside one candidate block.
+    """Collect candidate blocks whose all-pairs need a distance test.
 
     idx: global indices of the block members; rest: remaining base positions
     (the block already agrees on the other positions).  Blocks larger than
     `cap` are split recursively on halves of `rest` (a pair at distance <= tau
-    restricted to `rest` still agrees on one half when tau == 1).
+    restricted to `rest` still agrees on one half when tau == 1).  Small
+    blocks are appended to `blocks`; the caller runs ONE vectorized
+    hamming pass over all collected pairs (instead of a Python loop per
+    block, the round-2 hot spot).
     """
     n = len(idx)
     if n < 2:
@@ -107,14 +117,40 @@ def _cluster_block(
             other = np.setdiff1d(rest, part, assume_unique=True)
             for a, b in zip(starts, ends):
                 if b - a >= 2:
-                    _cluster_block(idx[order[a:b]], words, codes, other, tau, dsu, cap)
+                    _cluster_block(
+                        idx[order[a:b]], words, codes, other, tau, dsu, cap, blocks
+                    )
         return
-    # all-pairs inside the (small) block
-    blk = words[idx]
-    for i in range(n - 1):
-        d = hamming_distance(blk[i + 1 :], blk[i][None, :])
-        for j in np.flatnonzero(d <= tau):
-            dsu.union(int(idx[i]), int(idx[i + 1 + j]))
+    blocks.append(idx)
+
+
+def _union_block_pairs(
+    blocks: list, words: np.ndarray, tau: int, dsu: DSU, chunk: int = 1 << 18
+) -> None:
+    """All-pairs distance test across every collected block, vectorized.
+
+    Builds the flat (a, b) candidate-pair arrays for all blocks, computes
+    packed-word Hamming distances in chunks, and unions only the matching
+    pairs (the rare case) through the DSU."""
+    if not blocks:
+        return
+    pa, pb = [], []
+    triu_cache: dict[int, tuple] = {}
+    for idx in blocks:
+        n = len(idx)
+        if n not in triu_cache:
+            triu_cache[n] = np.triu_indices(n, 1)
+        iu, ju = triu_cache[n]
+        pa.append(idx[iu])
+        pb.append(idx[ju])
+    A = np.concatenate(pa)
+    B = np.concatenate(pb)
+    for off in range(0, len(A), chunk):
+        a = A[off : off + chunk]
+        b = B[off : off + chunk]
+        d = hamming_distance(words[a], words[b])
+        for i, j in zip(a[d <= tau], b[d <= tau]):
+            dsu.union(int(i), int(j))
 
 
 def cluster_kmers(words: np.ndarray, k: int, tau: int = 1, cap: int = 256) -> np.ndarray:
@@ -128,6 +164,7 @@ def cluster_kmers(words: np.ndarray, k: int, tau: int = 1, cap: int = 256) -> np
     dsu = DSU(n)
     if n >= 2:
         codes = K.unpack(words, k)
+        blocks: list = []
         # tau+1 sub-k-mer parts: equal-part runs are the candidate blocks
         parts = np.array_split(np.arange(k), tau + 1)
         for pi, part in enumerate(parts):
@@ -140,5 +177,6 @@ def cluster_kmers(words: np.ndarray, k: int, tau: int = 1, cap: int = 256) -> np
             ends = np.append(starts[1:], n)
             for a, b in zip(starts, ends):
                 if b - a >= 2:
-                    _cluster_block(order[a:b], words, codes, other, tau, dsu, cap)
+                    _cluster_block(order[a:b], words, codes, other, tau, dsu, cap, blocks)
+        _union_block_pairs(blocks, words, tau, dsu)
     return dsu.labels()
