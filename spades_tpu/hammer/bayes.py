@@ -88,34 +88,30 @@ def accumulate_quality(
     quals: list[str],
     k: int,
     batch_size: int = 8192,
+    maps: list | None = None,
 ) -> KmerQuality:
     """Aggregate per-position error log-probabilities onto the unique k-mers.
 
     Every read window that maps into the counted table adds its per-base
     log10(err) at the window's canonical orientation (reverse-complemented
     windows flip the position axis — base j of the canonical k-mer came from
-    read position p + k - 1 - j)."""
-    import jax.numpy as jnp
+    read position p + k - 1 - j).  `maps` (from hammer.build_window_maps)
+    reuses the shared per-pass window->row maps instead of recomputing them."""
+    if maps is None:
+        from .hammer import build_window_maps
 
+        maps = build_window_maps(seqs, kc.words, k, batch_size)
     kq = KmerQuality(kc.num_unique, k)
     pos = 0
-    for batch in batch_iter(seqs, batch_size=batch_size):
+    for batch, n, idx, present, use_rc in maps:
         R, L = batch.codes.shape
-        n = min(batch_size, len(seqs) - pos)
-        if L < k:
+        if idx is None:
             pos += n
             continue
         err = quals_to_array(quals[pos : pos + n], L)
         if err.shape[0] < R:  # batch row padding
             err = np.pad(err, ((0, R - err.shape[0]), (0, 0)), constant_values=1.0)
-        fwd = np.asarray(K.pack_windows(jnp.asarray(batch.codes), k, rc=False))
-        rcw = np.asarray(K.pack_windows(jnp.asarray(batch.codes), k, rc=True))
-        use_rc = np.asarray(K.lex_less(jnp.asarray(rcw), jnp.asarray(fwd)))
-        canon = np.where(use_rc[..., None], rcw, fwd)
-        P = canon.shape[1]
-        valid = (np.arange(P, dtype=np.int32)[None, :] + k <= batch.lengths[:, None])
-        idx = searchsorted_rows(kc.words, canon.reshape(-1, canon.shape[-1])).reshape(R, P)
-        present = (idx >= 0) & valid
+        P = idx.shape[1]
         # per-window per-position log10 error: (R, P, k) gathered from err
         win_err = np.lib.stride_tricks.sliding_window_view(err, k, axis=1)[:, :P, :]
         win_err = np.where(use_rc[..., None], win_err[:, :, ::-1], win_err)
@@ -321,32 +317,26 @@ def expand_solid(
     k: int,
     max_rounds: int = 8,
     batch_size: int = 8192,
+    maps: list | None = None,
 ) -> tuple[np.ndarray, int]:
     """Iterative solid-set expansion (expander.cpp): any read whose every
     position is covered by at least one solid k-mer certifies ALL of its
     k-mers as solid.  Repeats until fixpoint (or max_rounds).
 
-    Returns (expanded solid mask, rounds run)."""
-    import jax.numpy as jnp
+    `maps` (from hammer.build_window_maps) reuses the shared per-pass
+    window->row maps.  Returns (expanded solid mask, rounds run)."""
+    if maps is None:
+        from .hammer import build_window_maps
 
-    # Precompute window->unique-row maps once per batch; reuse across rounds.
-    batch_maps = []  # (idx (R,P), present (R,P), lengths (R,))
-    pos = 0
-    for batch in batch_iter(seqs, batch_size=batch_size):
-        R, L = batch.codes.shape
-        n = min(batch_size, len(seqs) - pos)
-        pos += n
-        if L < k:
+        maps = build_window_maps(seqs, kc.words, k, batch_size)
+    batch_maps = []  # (idx (R,P), present (R,P), lengths (R,), n, L)
+    for batch, n, idx, present, _use_rc in maps:
+        if idx is None:
             continue
-        fwd = np.asarray(K.pack_windows(jnp.asarray(batch.codes), k, rc=False))
-        rcw = np.asarray(K.pack_windows(jnp.asarray(batch.codes), k, rc=True))
-        use_rc = np.asarray(K.lex_less(jnp.asarray(rcw), jnp.asarray(fwd)))
-        canon = np.where(use_rc[..., None], rcw, fwd)
-        P = canon.shape[1]
-        valid = (np.arange(P, dtype=np.int32)[None, :] + k <= batch.lengths[:, None])
-        idx = searchsorted_rows(kc.words, canon.reshape(-1, canon.shape[-1])).reshape(R, P)
-        present = (idx >= 0) & valid
-        batch_maps.append((np.where(present, idx, 0), present, batch.lengths[:n], n, L))
+        L = batch.codes.shape[1]
+        batch_maps.append(
+            (np.where(present, idx, 0), present, batch.lengths[:n], n, L)
+        )
 
     solid = solid.copy()
     rounds = 0

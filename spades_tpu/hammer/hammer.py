@@ -78,6 +78,43 @@ def _cluster_centers(counts_words: np.ndarray, counts: np.ndarray, labels: np.nd
     return center_of_cluster, totals
 
 
+def build_window_maps(
+    seqs: list[str], words: np.ndarray, k: int, batch_size: int
+) -> list:
+    """Per-batch window->unique-row maps, computed ONCE per hammer pass and
+    shared by quality accumulation, solid-set expansion and the correction
+    loop (each recomputed them independently before round 3 — 3x the
+    pack/canonicalize/searchsorted cost, the dominant pass cost).
+
+    Returns a list of (batch, n, idx, present, use_rc) where idx is (R, P)
+    int32 rows into `words` (-1 where absent), present = in-table AND within
+    the read, use_rc marks windows whose canonical form is the reverse
+    complement.  Batches shorter than k get (batch, n, None, None, None)."""
+    import jax.numpy as jnp
+
+    maps = []
+    pos = 0
+    for batch in batch_iter(seqs, batch_size=batch_size):
+        R, L = batch.codes.shape
+        n = min(batch_size, len(seqs) - pos)
+        pos += n
+        if L < k:
+            maps.append((batch, n, None, None, None))
+            continue
+        fwd = np.asarray(K.pack_windows(jnp.asarray(batch.codes), k, rc=False))
+        rcw = np.asarray(K.pack_windows(jnp.asarray(batch.codes), k, rc=True))
+        use_rc = np.asarray(K.lex_less(jnp.asarray(rcw), jnp.asarray(fwd)))
+        canon = np.where(use_rc[..., None], rcw, fwd)
+        P = canon.shape[1]
+        valid = (
+            np.arange(P, dtype=np.int32)[None, :] + k <= batch.lengths[:, None]
+        )
+        idx = searchsorted_rows(words, canon.reshape(-1, canon.shape[-1]))
+        idx = idx.reshape(R, P).astype(np.int32)
+        maps.append((batch, n, idx, (idx >= 0) & valid, use_rc))
+    return maps
+
+
 def _vote_correct_batch(
     codes: np.ndarray,
     lengths: np.ndarray,
@@ -130,6 +167,10 @@ def _correct_pass(
     kc = count_sequences(clean, cfg.k)
     if kc.num_unique == 0:
         return seqs
+    # window->row maps computed once, shared by every consumer below
+    # (N positions are coded 0 == A in ReadBatch, so maps over `seqs`
+    # equal maps over `clean`)
+    maps = build_window_maps(seqs, kc.words, cfg.k, cfg.batch_size)
     labels = cluster_kmers(kc.words, cfg.k, cfg.tau)
     info = fit_coverage_model(kc.counts)
     solid_bound = max(cfg.min_solid_count, info.ec_bound)
@@ -138,7 +179,7 @@ def _correct_pass(
     if use_quality:
         from . import bayes
 
-        kq = bayes.accumulate_quality(kc, clean, quals, cfg.k, cfg.batch_size)
+        kq = bayes.accumulate_quality(kc, clean, quals, cfg.k, cfg.batch_size, maps=maps)
         labels = bayes.subcluster_all(
             kc.words, kc.counts, labels, kq, cfg.k, cfg.subcluster_max_members
         )
@@ -149,7 +190,8 @@ def _correct_pass(
         # iterative solid-set expansion runs over the full k-mer solid mask
         solid_kmer = solid_center[labels] & (centers[labels] == np.arange(kc.num_unique))
         solid_kmer, rounds = bayes.expand_solid(
-            kc, solid_kmer, clean, cfg.k, cfg.expander_rounds, cfg.batch_size
+            kc, solid_kmer, clean, cfg.k, cfg.expander_rounds, cfg.batch_size,
+            maps=maps,
         )
         # an expanded-solid k-mer acts as its own center from here on
         newly = solid_kmer & (centers[labels] != np.arange(kc.num_unique))
@@ -176,32 +218,14 @@ def _correct_pass(
 
     out: list[str] = []
     pos = 0
-    for batch in batch_iter(seqs, batch_size=cfg.batch_size):
+    for batch, n, idx, present, use_rc in maps:
         R, L = batch.codes.shape
-        n = min(cfg.batch_size, len(seqs) - pos)  # real (unpadded) read count
-        if L < cfg.k:
+        if idx is None:
             out.extend(batch.sequences()[:n])
             pos += n
             continue
-        import jax.numpy as jnp
-
-        fwd = np.asarray(K.pack_windows(jnp.asarray(batch.codes), cfg.k, rc=False))
-        rcw = np.asarray(K.pack_windows(jnp.asarray(batch.codes), cfg.k, rc=True))
-        use_rc = np.asarray(K.lex_less(jnp.asarray(rcw), jnp.asarray(fwd)))
-        # windows need only lie inside the read — N positions (stored as code
-        # 0 == A) participate so their windows can map to solid centers
-        P0 = L - cfg.k + 1
-        valid = (
-            np.arange(P0, dtype=np.int32)[None, :] + cfg.k
-            <= batch.lengths[:, None]
-        )
-        canon = np.where(use_rc[..., None], rcw, fwd)
-        P = canon.shape[1]
-        idx = searchsorted_rows(kc.words, canon.reshape(-1, canon.shape[-1]))
-        idx = idx.reshape(R, P)
-        present = idx >= 0
-        safe = np.where(present, idx, 0)
-        good = present & valid & kmer_good[safe]
+        safe = np.where(idx >= 0, idx, 0)
+        good = present & kmer_good[safe]
         cidx = center_idx_of_kmer[safe]
         oriented = center_codes_all[cidx]  # (R, P, k) canonical
         rc_codes = 3 - oriented[:, :, ::-1]

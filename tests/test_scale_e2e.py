@@ -105,6 +105,80 @@ class TestRepeatRich100kb:
         assert n50 >= 20_000
 
 
+class TestHybridLongReadGapClosing:
+    """BASELINE config 5 analog: PE + noisy long reads through HybridAligning
+    (`hybrid_aligning.cpp:31-353` role).  A 500 bp window carries zero
+    short-read coverage, so the PE-only assembly MUST fragment there; 10%%-
+    indel long reads spanning the window must close the gap via the pileup
+    consensus (`hybrid_gap_closer.hpp:312-320` SPOA role)."""
+
+    GAP = (30_000, 30_500)
+
+    def _noisy_long(self, gcodes, rng, a, L, err=0.10):
+        out = []
+        for c in gcodes[a : a + L]:
+            r = rng.random()
+            if r < err / 3:
+                continue  # deletion
+            if r < 2 * err / 3:
+                out.append(int(rng.integers(0, 4)))  # insertion
+            if 2 * err / 3 <= r < err:
+                out.append(int((c + rng.integers(1, 4)) & 3))  # substitution
+            else:
+                out.append(int(c))
+        return dna.decode(np.array(out, np.uint8))
+
+    def test_noisy_long_reads_close_coverage_gap(self, tmp_path):
+        rng = np.random.default_rng(13)
+        G = 60_000
+        gcodes = rng.integers(0, 4, G).astype(np.uint8)
+        genome = dna.decode(gcodes)
+        rl, insert, cov = 100, 300, 40
+        lo, hi = self.GAP
+        n_pairs = G * cov // (2 * rl)
+        starts = rng.integers(0, G - insert, n_pairs)
+        # drop any pair whose reads touch the gap window
+        keep = ~(((starts + rl) > lo) & (starts < hi))
+        keep &= ~(((starts + insert) > lo) & ((starts + insert - rl) < hi))
+        starts = starts[keep]
+        lefts = [genome[a : a + rl] for a in starts]
+        rights = [dna.revcomp_str(genome[a + insert - rl : a + insert]) for a in starts]
+        longs = [
+            self._noisy_long(gcodes, rng, int(rng.integers(27_000, 28_500)), 5000)
+            for _ in range(20)
+        ]
+
+        pe = run_assembly(
+            lefts + rights, [55], str(tmp_path / "pe"),
+            paired_libs=[(lefts, rights)], read_length=rl, checkpoints="none",
+        )
+        pe_lens = sorted((len(c.seq) for c in pe.contigs), reverse=True)
+        assert len(pe_lens) >= 2 and pe_lens[0] < 0.6 * G, "gap did not fragment PE assembly"
+
+        hy = run_assembly(
+            lefts + rights, [55], str(tmp_path / "hy"),
+            paired_libs=[(lefts, rights)], long_reads=longs,
+            read_length=rl, checkpoints="none",
+        )
+        hy_lens = sorted((len(c.seq) for c in hy.contigs), reverse=True)
+        assert hy_lens[0] >= 0.99 * G, f"gap not closed: {hy_lens[:4]}"
+        # orientation + flank fidelity: short-read-covered flanks are exact
+        big = next(c.seq for c in hy.contigs if len(c.seq) == hy_lens[0])
+        # (contig termini lose up to ~k bases to tip clipping: compare
+        # interior flank chunks)
+        if genome[1_000:20_000] not in big:
+            big = dna.revcomp_str(big)
+        assert genome[1_000:20_000] in big and genome[-20_000:-1_000] in big
+        # filled gap region: consensus of 10%-indel reads must be near-exact
+        from spades_tpu.alignment.edit import edit_distance
+
+        off = big.find(genome[lo - 2_000 : lo - 1_000])
+        assert off >= 0
+        got = big[off : off + 3_500]
+        want = genome[lo - 2_000 : lo + 1_500]
+        assert edit_distance(got, want) <= 40  # ~1% of the window
+
+
 class TestMetaUnevenCoverage:
     def test_two_genomes_uneven(self, tmp_path):
         rng = np.random.default_rng(23)
