@@ -34,6 +34,10 @@ class ReadBatch:
     codes: np.ndarray
     lengths: np.ndarray
     n_mask: np.ndarray
+    # real (unpadded) sequence count; rows beyond it are padding.  Batches
+    # from batch_iter may be SHORTER than batch_size (footprint or
+    # length-bucket flush) so consumers must use this, never batch_size.
+    n_seqs: int = -1
 
     @property
     def num_reads(self) -> int:
@@ -80,6 +84,7 @@ class ReadBatch:
                 codes=np.zeros((0, L), np.uint8),
                 lengths=np.zeros((0,), np.int32),
                 n_mask=np.zeros((0, L), bool),
+                n_seqs=0,
             )
         encoded = [
             s if isinstance(s, np.ndarray) else dna.encode(s) for s in seqs
@@ -95,7 +100,7 @@ class ReadBatch:
             nm = e >= dna.NCODE
             codes[i, :n] = np.where(nm, 0, e)
             n_mask[i, :n] = nm
-        return cls(codes=codes, lengths=lengths, n_mask=n_mask)
+        return cls(codes=codes, lengths=lengths, n_mask=n_mask, n_seqs=len(seqs))
 
     def sequences(self) -> list[str]:
         out = []
@@ -147,6 +152,17 @@ def batch_iter(
         if buf and (len(buf) + 1) * max(maxlen, len(s)) > max_batch_nt:
             yield flush(buf)
             buf, maxlen = [], 0
+        # length-bucket split: a single long sequence (e.g. a prev-K contig
+        # chunk) arriving after thousands of short reads would otherwise pad
+        # EVERY buffered row to its length (97% padding was worth 10x wall in
+        # the K33 construction of the multi-K ladder).  Flush when the pow2
+        # bucket jumps by >=4x in either direction; small jumps keep batching.
+        if buf:
+            cur = _next_pow2(max(maxlen, pad_len_to))
+            new = _next_pow2(max(len(s), pad_len_to))
+            if new >= 4 * cur or cur >= 4 * new:
+                yield flush(buf)
+                buf, maxlen = [], 0
         buf.append(s)
         maxlen = max(maxlen, len(s))
         if len(buf) >= batch_size:

@@ -93,11 +93,9 @@ def build_window_maps(
     import jax.numpy as jnp
 
     maps = []
-    pos = 0
     for batch in batch_iter(seqs, batch_size=batch_size):
         R, L = batch.codes.shape
-        n = min(batch_size, len(seqs) - pos)
-        pos += n
+        n = batch.n_seqs  # batches may flush short (footprint/length bucket)
         if L < k:
             maps.append((batch, n, None, None, None))
             continue
