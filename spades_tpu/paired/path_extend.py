@@ -842,28 +842,45 @@ def build_scaffold_graph_2015(
 
 
 def scaffold_with_graph_2015(
-    g: CondensedGraph, sg, paths: list[Path], cfg: PEConfig, default_gap: int = 100
+    g: CondensedGraph, sg, paths: list[Path], cfg: PEConfig,
+    default_gap: int = 100, relative_cutoff: float = 2.0,
 ) -> list[Path]:
-    """Join paths along unambiguous scaffold-graph links.
+    """Join paths along scaffold-graph links.
 
-    A link is used when its source has scaffold out-degree 1 and its target
-    in-degree 1 (the unambiguous-connection rule of the 2015 scaffolder),
-    the source edge ends a path and the target edge starts another."""
+    A link is used when it is unambiguous (source scaffold out-degree 1 and
+    target in-degree 1) OR when its weight dominates every competing link
+    from the same source / into the same target by `relative_cutoff` — the
+    reference's relative-weight connection discipline for ambiguous links
+    (`scaffolder2015/connection_condition2015.hpp` WeightDistCondition +
+    the coordinated-extension ratio check in extension_chooser.hpp)."""
     if sg.num_edges == 0 or not paths:
         return paths
-    out_deg = sg.out_degrees()
-    in_deg = sg.in_degrees()
     path_by_first = {p.edges[0]: i for i, p in enumerate(paths)}
     path_by_last = {p.edges[-1]: i for i, p in enumerate(paths)}
 
+    # per-source and per-target links sorted by weight
+    by_src: dict[int, list[tuple[float, int]]] = {}
+    by_dst: dict[int, list[tuple[float, int]]] = {}
+    for s, d, w in zip(sg.src, sg.dst, sg.weight):
+        by_src.setdefault(int(s), []).append((float(w), int(d)))
+        by_dst.setdefault(int(d), []).append((float(w), int(s)))
+
+    def dominant(links: list[tuple[float, int]]):
+        """The single usable link out of a fan, or None if ambiguous."""
+        if len(links) == 1:
+            return links[0][1]
+        links = sorted(links, reverse=True)
+        return links[0][1] if links[0][0] >= relative_cutoff * links[1][0] else None
+
     next_of: dict[int, int] = {}
-    for s, d in zip(sg.src, sg.dst):
-        s, d = int(s), int(d)
-        if out_deg.get(s) == 1 and in_deg.get(d) == 1:
-            i = path_by_last.get(s)
-            j = path_by_first.get(d)
-            if i is not None and j is not None and i != j:
-                next_of[i] = j
+    for s, links in by_src.items():
+        d = dominant(links)
+        if d is None or dominant(by_dst[d]) != s:
+            continue
+        i = path_by_last.get(s)
+        j = path_by_first.get(d)
+        if i is not None and j is not None and i != j:
+            next_of[i] = j
 
     has_prev = set(next_of.values())
     joined: list[Path] = []

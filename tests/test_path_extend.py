@@ -195,3 +195,35 @@ class TestScaffolder2015:
             g, sg, [Path([eA]), Path([eB]), Path([eC])], PEConfig()
         )
         assert len(joined) == 3
+
+    def test_dominant_link_resolves_ambiguous_fan(self, rng):
+        """connection_condition2015.hpp relative-weight rule: an ambiguous
+        fan IS joined when one link dominates the others by the cutoff."""
+        import numpy as np
+        from spades_tpu.paired.paired_info import PairedIndex
+        from spades_tpu.paired.path_extend import (
+            PEConfig, Path, build_scaffold_graph_2015, scaffold_with_graph_2015,
+        )
+
+        g, _ = self._graph_three_long_edges(rng)
+        eA, eB, eC = 0, 2, 4
+        # A -> B carries 4.5x the weight of A -> C: dominant, join A-B
+        pi = PairedIndex(
+            e1=np.array([eA, eA], np.int64),
+            e2=np.array([eB, eC], np.int64),
+            dist=np.array([2000, 2000], np.int64),
+            weight=np.array([9.0, 2.0]),
+        )
+        sg = build_scaffold_graph_2015(g, pi, min_edge_length=100)
+        assert sg.num_edges == 2  # both links above min_weight
+        joined = scaffold_with_graph_2015(
+            g, sg, [Path([eA]), Path([eB]), Path([eC])], PEConfig()
+        )
+        by_edges = sorted(tuple(p.edges) for p in joined)
+        assert (eA, eB) in by_edges and (eC,) in by_edges
+        # at cutoff 9/2 < 5: raising the cutoff refuses the join
+        strict = scaffold_with_graph_2015(
+            g, sg, [Path([eA]), Path([eB]), Path([eC])], PEConfig(),
+            relative_cutoff=5.0,
+        )
+        assert len(strict) == 3
