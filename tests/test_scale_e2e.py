@@ -105,6 +105,99 @@ class TestRepeatRich100kb:
         assert n50 >= 20_000
 
 
+def approx_quast(contigs, genome, anchor=31, max_divergence=1e-3, min_len=500):
+    """QUAST metrics tolerant of rare residual base errors.
+
+    Reads carry only substitutions, so every correctly assembled contig
+    aligns gaplessly: place each contig by exact `anchor`-mer seed on a
+    single diagonal (both strands) and call it correct when identity
+    >= 1 - max_divergence.  Contigs under min_len are ignored, like QUAST's
+    default --min-contig 500 (`teamcity.py` runs QUAST with defaults).
+    Returns (genome_fraction, n_misassembled, N50)."""
+    idx: dict[str, int] = {}
+    for i in range(0, len(genome) - anchor + 1):
+        idx.setdefault(genome[i : i + anchor], i)
+    cover = np.zeros(len(genome), bool)
+    mis = 0
+    lens = []
+    for s in contigs:
+        if len(s) < min_len:
+            continue
+        lens.append(len(s))
+        placed = False
+        for cand in (s, dna.revcomp_str(s)):
+            for off in range(0, len(cand) - anchor + 1, 997):
+                p = idx.get(cand[off : off + anchor])
+                if p is None:
+                    continue
+                start = p - off
+                if start < 0 or start + len(cand) > len(genome):
+                    continue
+                a = np.frombuffer(cand.encode(), np.uint8)
+                b = np.frombuffer(genome[start : start + len(cand)].encode(), np.uint8)
+                if (a != b).mean() <= max_divergence:
+                    cover[start : start + len(cand)] = True
+                    placed = True
+                break
+            if placed:
+                break
+        if not placed:
+            mis += 1
+    lens.sort(reverse=True)
+    acc, n50 = 0, 0
+    for L in lens:
+        acc += L
+        if acc * 2 >= sum(lens):
+            n50 = L
+            break
+    return cover.mean(), mis, n50
+
+
+@pytest.mark.slow
+class TestErrorCorrectedMegabase:
+    """BASELINE config 3 analog at routine scale (VERDICT r2 item 4a): 1 Mb
+    genome, 25x paired reads with 1% substitution errors + PHRED qualities,
+    BayesHammer error correction, k=21/33/55 multi-K ladder with repeat
+    resolution — the full production path with errors in the loop
+    (`src/test/teamcity/teamcity.py:66-105` nightly-dataset discipline)."""
+
+    def test_hammer_multik_assembly(self, tmp_path):
+        from spades_tpu.hammer import HammerConfig, correct_reads
+
+        rng = np.random.default_rng(31)
+        G = 1_000_000
+        gcodes = rng.integers(0, 4, G).astype(np.uint8)
+        genome = dna.decode(gcodes)
+        rl, insert, cov, err = 100, 300, 25, 0.01
+        n_pairs = G * cov // (2 * rl)
+        starts = rng.integers(0, G - insert, n_pairs)
+        lc = gcodes[starts[:, None] + np.arange(rl)].copy()
+        rc = (3 - gcodes[(starts + insert - rl)[:, None] + np.arange(rl)])[:, ::-1].copy()
+        for arr in (lc, rc):
+            m = rng.random(arr.shape) < err
+            arr[m] = (arr[m] + rng.integers(1, 4, int(m.sum()))) & 3
+        lefts = [dna.decode(c) for c in lc]
+        rights = [dna.decode(c) for c in rc]
+        quals = ["I" * rl] * (2 * n_pairs)  # Q40
+
+        corr, stats = correct_reads(lefts + rights, HammerConfig(), quals=quals)
+        # 1% errors at 25x: the overwhelming majority must be corrected
+        n_err0 = int((lc != gcodes[starts[:, None] + np.arange(rl)]).sum()) + int(
+            (rc != (3 - gcodes[(starts + insert - rl)[:, None] + np.arange(rl)])[:, ::-1]).sum()
+        )
+        assert stats.bases_changed >= 0.8 * n_err0
+        lefts2, rights2 = corr[:n_pairs], corr[n_pairs:]
+
+        res = run_assembly(
+            lefts2 + rights2, [21, 33, 55], str(tmp_path / "a"),
+            paired_libs=[(lefts2, rights2)], read_length=rl, checkpoints="none",
+        )
+        frac, mis, n50 = approx_quast([c.seq for c in res.contigs], genome)
+        assert mis == 0, "misassembled contigs"
+        assert frac >= 0.99
+        assert n50 >= 200_000
+
+
 class TestHybridLongReadGapClosing:
     """BASELINE config 5 analog: PE + noisy long reads through HybridAligning
     (`hybrid_aligning.cpp:31-353` role).  A 500 bp window carries zero
