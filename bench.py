@@ -239,6 +239,8 @@ def bench_e2e() -> dict:
     reads = list(codes)  # row views; ReadBatch accepts uint8 code arrays
 
     stage_s: dict[str, float] = {}
+    phase_s: dict[str, dict] = {}
+    compile_est = 0.0
     t_all = time.perf_counter()
     prev: list[str] | None = None
     contigs = []
@@ -247,6 +249,17 @@ def bench_e2e() -> dict:
         t0 = time.perf_counter()
         res = construct_graph(seqs, k, batch_size=262144)
         stage_s[f"k{k}_construct"] = round(time.perf_counter() - t0, 1)
+        tm = res.timings
+        phase_s[f"k{k}_construct"] = tm
+        # compile estimate: the first device dispatch carries the XLA compile
+        # (remote compile service); steady-state per-batch cost is the mean of
+        # the remaining dispatches of the same shape
+        nb = tm.get("n_batches", 0)
+        if nb > 1:
+            warm = (tm["device_s"] - tm["device_first_s"]) / (nb - 1)
+            compile_est += max(tm["device_first_s"] - warm, 0.0)
+        elif nb == 1:
+            compile_est += tm["device_first_s"]
         t0 = time.perf_counter()
         info = fit_coverage_model(res.p1_counts.counts)
         stage_s[f"k{k}_covmodel"] = round(time.perf_counter() - t0, 1)
@@ -277,7 +290,10 @@ def bench_e2e() -> dict:
             "n50": n50,
             "largest": lens[0] if lens else 0,
             "total_len": sum(lens),
+            "compile_s_est": round(compile_est, 1),
+            "wall_minus_compile_s": round(wall - compile_est, 1),
             "stages": stage_s,
+            "construct_phases": phase_s,
         }
     }
 

@@ -9,3 +9,36 @@ kernels over fixed-shape arrays; multi-chip scaling uses `jax.sharding.Mesh` +
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX at an on-disk compilation cache shared across processes.
+
+    In this environment XLA programs compile through a remote compile service
+    with seconds-to-minutes latency per program; the assembler compiles a
+    handful of large counting/sort programs per k.  A persistent cache makes
+    every program a one-time cost per machine instead of per process — the
+    TPU analog of the reference compiling its binaries once at build time.
+    Opt out / relocate with JAX_COMPILATION_CACHE_DIR (JAX's own knob) or
+    SPADES_TPU_JAX_CACHE=0.
+    """
+    import os
+
+    flag = os.environ.get("SPADES_TPU_JAX_CACHE", "")
+    if flag == "0" or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if flag:
+        cache_dir = flag
+    else:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -291,7 +291,8 @@ def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
     return KmerCounts(k=k, words=words[new], counts=out_counts)
 
 
-def count_reads(batches, k: int, tile: int = 512) -> KmerCounts:
+def count_reads(batches, k: int, tile: int = 512,
+                timings: dict | None = None) -> KmerCounts:
     """Count canonical k-mers over an iterable of ReadBatches.
 
     Each batch is fully counted ON DEVICE (`count_batch_device_unique`:
@@ -301,12 +302,28 @@ def count_reads(batches, k: int, tile: int = 512) -> KmerCounts:
     (`merge_counts`, native loser tree).  This is the reference's
     buffer-flush/bucket-merge split (`kmer_index_builder.hpp:306-430`) with
     the per-thread buffer replaced by the whole device batch.
+
+    timings: optional dict accumulating the per-phase wall-time account the
+    reference keeps via TIME_TRACE_SCOPE (`kmer_index_builder.hpp:309,318`):
+    device_s (dispatch+sync of the counting program), device_first_s (the
+    first dispatch, which carries the XLA compile when the persistent cache
+    is cold), pull_s (device->host transfer of unique rows), merge_s (host
+    run merge), host_s (numpy small-batch path), n_batches.
     """
     import os
+    import time
 
     from .pallas_kernels import supports_pallas
 
     use_pallas = supports_pallas()
+    tm = timings if timings is not None else {}
+    tm.setdefault("device_s", 0.0)
+    tm.setdefault("device_first_s", 0.0)
+    tm.setdefault("pull_s", 0.0)
+    tm.setdefault("merge_s", 0.0)
+    tm.setdefault("host_s", 0.0)
+    tm.setdefault("n_batches", 0)
+    first_device = True
     # batches below this window count go to the host counter: an XLA compile
     # for a one-off small shape costs far more than counting a few Mkmers in
     # numpy (see count_batch_host)
@@ -318,25 +335,38 @@ def count_reads(batches, k: int, tile: int = 512) -> KmerCounts:
                 continue
             R, L = b.codes.shape
             if R * (L - k + 1) < host_thresh:
+                t0 = time.perf_counter()
                 r = count_batch_host(b.codes, b.lengths, b.n_mask, k)
+                tm["host_s"] += time.perf_counter() - t0
                 if r.num_unique:
                     runs.append(r)
                 continue
             # packed wire format: ~7x fewer bytes over the host->device link
+            t0 = time.perf_counter()
             pc, pn, lengths, L = b.packed()
             uw, uc, nu = count_batch_packed_unique(
                 pc, pn, lengths, L, k, use_pallas=use_pallas
             )
+            nu = int(nu)
+            dt = time.perf_counter() - t0
         else:
             codes, lengths, n_mask = b
             if codes.shape[0] == 0 or codes.shape[1] < k:
                 continue
+            t0 = time.perf_counter()
             uw, uc, nu = count_batch_device_unique(
                 codes, lengths, n_mask, k, use_pallas=use_pallas
             )
-        nu = int(nu)
+            nu = int(nu)
+            dt = time.perf_counter() - t0
+        tm["device_s"] += dt
+        if first_device:
+            tm["device_first_s"] = dt
+            first_device = False
+        tm["n_batches"] += 1
         if nu == 0:
             continue
+        t0 = time.perf_counter()
         runs.append(
             KmerCounts(
                 k=k,
@@ -344,20 +374,26 @@ def count_reads(batches, k: int, tile: int = 512) -> KmerCounts:
                 counts=np.asarray(uc[:nu]).astype(np.int64),
             )
         )
+        tm["pull_s"] += time.perf_counter() - t0
     if not runs:
         W = K.kmer_words(k)
         return KmerCounts(k=k, words=np.zeros((0, W), np.uint32), counts=np.zeros((0,), np.int64))
-    return merge_counts(runs)
+    t0 = time.perf_counter()
+    out = merge_counts(runs)
+    tm["merge_s"] += time.perf_counter() - t0
+    return out
 
 
-def count_sequences(seqs, k: int, batch_size: int = 65536) -> KmerCounts:
+def count_sequences(seqs, k: int, batch_size: int = 65536,
+                    timings: dict | None = None) -> KmerCounts:
     """Convenience: count canonical k-mers of a list of sequences.
 
     Long sequences are chopped into window-preserving chunks first so a
     single long contig cannot blow up the padded batch shape."""
     from ..core.reads import batch_iter, chop_sequences
 
-    return count_reads(batch_iter(chop_sequences(seqs, k), batch_size=batch_size), k)
+    return count_reads(batch_iter(chop_sequences(seqs, k), batch_size=batch_size), k,
+                       timings=timings)
 
 
 def _rows_u64(rows: np.ndarray, w0: int, w1: int) -> np.ndarray:

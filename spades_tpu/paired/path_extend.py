@@ -44,6 +44,16 @@ class PEConfig:
     # polishing / loops
     max_polisher_gap: int = 700     # pe_config max_polisher_gap (launcher.cpp:485)
     loop_unroll_nt_limit: int = 1000  # full unroll only for short loops (path_extender.hpp:126)
+    # scaffolder gap-analyzer options (pe_params.info:57-73 scaffolder block)
+    min_gap_score: float = 0.7      # Hamming analyzer accept score
+    short_overlap: int = 6          # stop scanning below this once a hit exists
+    artificial_gap: int = 10        # fallback N-gap when no overlap found
+    min_la_length: int = 10         # min local-alignment length (min_overlap_length)
+    flank_multiplication_coefficient: float = 0.5
+    flank_addition_coefficient: int = 5
+    basic_overlap_coeff: float = 2.0  # max Hamming overlap = coeff * read_length
+    max_can_overlap: float = 1.0    # may_overlap_threshold = coeff * is_var
+    var_coeff: float = 3.0          # must_overlap_threshold = -coeff * is_var
 
 
 @dataclass
@@ -91,6 +101,29 @@ def ideal_pair_count(
     return max(right - left + 1, 0)
 
 
+def ideal_pair_counts_vec(
+    len1, len2, dist, insert_size: int, read_len: int, k: int
+) -> np.ndarray:
+    """Vectorized `ideal_pair_count` over broadcastable arrays — the same
+    IdealReads formula (`ideal_pair_info.hpp:63-88`) evaluated for a whole
+    (path-edge x candidate) matrix in one numpy pass."""
+    len1 = np.asarray(len1, np.int64)
+    len2 = np.asarray(len2, np.int64)
+    dist = np.asarray(dist, np.int64)
+    swap = dist < 0
+    l1 = np.where(swap, len2, len1)
+    l2 = np.where(swap, len1, len2)
+    d = np.abs(dist)
+    gap_len = d - l1
+    right = np.minimum(insert_size - read_len - 1, gap_len + l2 - 1)
+    left = np.maximum(
+        gap_len + k + 1 - read_len, insert_size - read_len - l1 - read_len + k + 1
+    )
+    res = np.maximum(right - left + 1, 0)
+    zero_d = np.maximum(l1 - insert_size + 2 * read_len - 2 - k + 1, 0)
+    return np.where(d == 0, zero_d, res).astype(float)
+
+
 def candidate_weights(
     g: CondensedGraph,
     pi: PairedIndex,
@@ -102,10 +135,13 @@ def candidate_weights(
     edge_use_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Normalized paired support for every candidate in ONE vectorized pass
-    per path edge (PathCoverWeightCounter::CountWeight,
-    `weight_counter.hpp:218-280`): a path edge supports a candidate when its
-    actual/ideal pair-weight ratio clears single_threshold; the score is the
-    ideal-weight-fraction of supporting path edges (in [0, 1]).
+    over the whole (path-edge x candidate) matrix
+    (PathCoverWeightCounter::CountWeight, `weight_counter.hpp:218-280`):
+    a path edge supports a candidate when its actual/ideal pair-weight ratio
+    clears single_threshold; the score is the ideal-weight-fraction of
+    supporting path edges (in [0, 1]).  No Python loop over path edges: the
+    pair-table slices of every path edge are gathered with one batched
+    searchsorted and scattered into the (E, C) weight matrix.
 
     Returns (weights, normalized): normalized=True means scores are in
     [0, 1] and should be cut at cfg.weight_threshold; False means raw summed
@@ -120,35 +156,46 @@ def candidate_weights(
     is_nt = int(cfg.insert_size)
     rl = int(cfg.read_length)
 
-    raw = np.zeros(C)
-    support = np.zeros(C)
-    ideal_tot = np.zeros(C)
-    for i, (e, p) in enumerate(zip(path.edges, pos)):
-        if edge_use_mask is not None and not edge_use_mask[i]:
-            continue  # ExcludingExtensionChooser::ExcludeEdges semantics
-        dist = int(cand_pos - p)
-        elen = int(g.e_len[e]) - g.k
-        if dist - elen > cfg.insert_size + delta:
-            continue  # too far back to have pairs
-        # actual weight of (e -> each candidate) near the expected distance
-        w_e = np.zeros(C)
-        e2s, ds, ws = pi.pairs_from(int(e))
-        if e2s.size:
-            m = np.abs(ds - dist) <= delta
-            if m.any():
-                ins = np.searchsorted(csorted, e2s[m])
-                ins_c = np.minimum(ins, C - 1)
-                hit = csorted[ins_c] == e2s[m]
-                np.add.at(w_e, corder[ins_c[hit]], ws[m][hit])
-        raw += w_e
-        ideal_e = np.array(
-            [ideal_pair_count(elen, int(cl), dist, is_nt, rl, g.k) for cl in clens],
-            float,
+    edges = np.asarray(path.edges, np.int64)
+    dists = (int(cand_pos) - np.asarray(pos, np.int64)).astype(np.int64)
+    elens = (g.e_len[edges] - g.k).astype(np.int64)
+    active = (dists - elens) <= cfg.insert_size + delta
+    if edge_use_mask is not None:
+        active &= np.asarray(edge_use_mask, bool)
+    if not active.any():
+        return np.zeros(C), False
+    edges, dists, elens = edges[active], dists[active], elens[active]
+    E = len(edges)
+
+    # actual weights: gather every path edge's pair-table slice at once
+    w = np.zeros((E, C))
+    lo = np.searchsorted(pi.e1, edges, side="left")
+    hi = np.searchsorted(pi.e1, edges, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total:
+        row = np.repeat(np.arange(E), cnt)
+        idx = np.repeat(lo, cnt) + np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
         )
-        has = ideal_e > 0
-        ideal_tot[has] += ideal_e[has]
-        supp = has & (w_e / np.maximum(ideal_e, 1e-9) >= cfg.single_threshold)
-        support[supp] += ideal_e[supp]
+        m = np.abs(pi.dist[idx] - dists[row]) <= delta
+        if m.any():
+            idx_m, row_m = idx[m], row[m]
+            e2m = pi.e2[idx_m]
+            ins = np.searchsorted(csorted, e2m)
+            ins_c = np.minimum(ins, C - 1)
+            hit = csorted[ins_c] == e2m
+            flat = row_m[hit] * C + corder[ins_c[hit]]
+            np.add.at(w.ravel(), flat, pi.weight[idx_m][hit])
+
+    ideal = ideal_pair_counts_vec(
+        elens[:, None], clens[None, :], dists[:, None], is_nt, rl, g.k
+    )
+    has = ideal > 0
+    raw = w.sum(axis=0)
+    ideal_tot = np.where(has, ideal, 0.0).sum(axis=0)
+    supp = has & (w / np.maximum(ideal, 1e-9) >= cfg.single_threshold)
+    support = np.where(supp, ideal, 0.0).sum(axis=0)
     if not cfg.normalize_weight or not ideal_tot.any():
         return raw, False
     return np.where(ideal_tot > 0, support / np.maximum(ideal_tot, 1e-9), 0.0), True
@@ -422,7 +469,9 @@ def _extend_step(
     cands = [int(e) for e in g.out_edges_of(v)]
     if not cands:
         return False
-    counts = {e: path.edges.count(e) for e in cands}
+    from collections import Counter
+
+    counts = Counter(path.edges)
     cands = [e for e in cands if counts[e] < cfg.max_edge_repeat]
     if not cands:
         return False
@@ -704,7 +753,9 @@ def polish_paths(g: CondensedGraph, paths: list[Path], cfg: PEConfig) -> list[Pa
 
 
 def path_sequence(g: CondensedGraph, path: Path) -> str:
-    """Spell the path: k-overlap concatenation; gaps become N runs."""
+    """Spell the path: k-overlap concatenation; gaps become N runs; a
+    negative gap -l (from the gap analyzer) means the next edge overlaps the
+    running sequence by l nt and is spelled from offset l."""
     from ..core import dna
 
     parts: list[str] = []
@@ -715,9 +766,197 @@ def path_sequence(g: CondensedGraph, path: Path) -> str:
         elif path.gaps[i] > 0:
             parts.append("N" * path.gaps[i])
             parts.append(s)
+        elif path.gaps[i] < 0:
+            parts.append(s[-path.gaps[i]:])
         else:
             parts.append(s[g.k :])
     return "".join(parts)
+
+
+def overlap_align(s1: np.ndarray, s2: np.ndarray) -> tuple[int, int, int, int]:
+    """Overlap alignment of a left flank s1 against a right flank s2
+    (code arrays): the alignment must reach the END of s1 and start at the
+    BEGINNING of s2 (scaffold-junction geometry; the reference's
+    SWOverlapAnalyzer additionally supports trimmed flanks,
+    `overlap_analysis.hpp` — the trim-free case covers GapDescription's
+    no_trim contract that both its callers VERIFY).
+
+    Scores +1 match / -1 mismatch / -1 indel.  Returns
+    (score, overlap2, matches, aln_len) where overlap2 is the number of s2
+    bases consumed (the overlap length on the right edge)."""
+    n, m = len(s1), len(s2)
+    if n == 0 or m == 0:
+        return 0, 0, 0, 0
+    NEG = -(1 << 29)
+    # S[i][j]: best score aligning some suffix s1[i0:i] with s2[0:j]
+    S = np.full((n + 1, m + 1), NEG, np.int32)
+    tb = np.zeros((n + 1, m + 1), np.uint8)  # 0=start,1=diag,2=up(del s1),3=left(ins s2)
+    S[:, 0] = 0                     # free start anywhere in s1
+    S[0, 1:] = -np.arange(1, m + 1)  # leading s2 chars must be paid for
+    tb[0, 1:] = 3
+    for i in range(1, n + 1):
+        sub = np.where(s2 == s1[i - 1], 1, -1).astype(np.int32)
+        diag = S[i - 1, :-1] + sub
+        up = S[i - 1, 1:] - 1
+        row = np.maximum(diag, up)
+        t = np.where(diag >= up, 1, 2).astype(np.uint8)
+        # left transitions: with linear gap cost the best chain into column c
+        # is max over c'<c of (S[c'] + c') - c — one prefix-max, no scan
+        pre = np.concatenate([[np.int32(0)], row])        # S[i][0] = 0
+        run = np.maximum.accumulate(pre + np.arange(m + 1, dtype=np.int32))
+        left = run[:-1] - np.arange(1, m + 1, dtype=np.int32)
+        t = np.where(left > row, np.uint8(3), t)
+        row = np.maximum(row, left)
+        S[i, 1:] = row
+        tb[i, 1:] = t
+    j_best = int(np.argmax(S[n, :]))
+    score = int(S[n, j_best])
+    # traceback for matches / length
+    i, j = n, j_best
+    matches = 0
+    aln_len = 0
+    while not (tb[i, j] == 0 and (j == 0)):
+        d = tb[i, j]
+        if d == 1:
+            matches += int(s1[i - 1] == s2[j - 1])
+            i, j = i - 1, j - 1
+        elif d == 2:
+            i -= 1
+        elif d == 3:
+            j -= 1
+        else:
+            break
+        aln_len += 1
+    return score, j_best, matches, aln_len
+
+
+def analyze_gap(
+    g: CondensedGraph, left: int, right: int, est_gap: int, cfg: PEConfig,
+) -> int | None:
+    """CompositeGapAnalyzer::FixGap (`gap_analyzer.cpp:139-162`): refine one
+    scaffold junction's estimated gap between edges `left` and `right`.
+
+    Tries the local-alignment joiner (LAGapAnalyzer::FixGap,
+    `gap_analyzer.cpp:86-135`) then the Hamming joiner
+    (HammingGapAnalyzer::FixGap, `gap_analyzer.cpp:31-84`).  Returns the
+    refined gap — negative = overlap of that many nt — or the (possibly
+    clamped) estimate when the edges are too far apart, or None when the
+    estimate demands an overlap that cannot be found (the join should be
+    dropped)."""
+    from ..core import dna
+
+    may_overlap = int(round(cfg.max_can_overlap * cfg.is_var))
+    must_overlap = int(round(-cfg.var_coeff * cfg.is_var))
+    if est_gap > may_overlap:
+        return est_gap
+
+    s1 = dna.encode(g.edge_seq(int(left)))
+    s2 = dna.encode(g.edge_seq(int(right)))
+
+    # --- LA joiner ---------------------------------------------------------
+    est_overlap = -est_gap if est_gap < 0 else 0
+    flank = int(round(est_overlap * 2.0)) + 30   # ESTIMATED_GAP_MULTIPLIER / GAP_ADDITIONAL_COEFFICIENT
+    f1 = s1[-min(flank, len(s1)):]
+    f2 = s2[:min(flank, len(s2))]
+    score, ov2, matches, aln_len = overlap_align(f1, f2)
+    if aln_len >= cfg.min_la_length and score > 0:
+        identity = matches / max(aln_len, 1)
+        if identity >= 0.9 and 0 < ov2 < len(s2):
+            return -ov2
+    # --- Hamming joiner ----------------------------------------------------
+    max_overlap = int(cfg.basic_overlap_coeff * cfg.read_length)
+    if est_gap < 0:
+        max_overlap -= est_gap
+    max_overlap = min(max_overlap, g.k + min(len(s1), len(s2)) - 1)
+    min_overlap = 1
+    if est_gap < 0:
+        min_overlap = max(min_overlap, int(round(0.05 * -est_gap)))
+    best_score, fixed = cfg.min_gap_score, None
+    for l in range(max_overlap, min_overlap - 1, -1):
+        sc = float(np.mean(s1[-l:] == s2[:l]))
+        if sc > best_score:
+            best_score, fixed = sc, -l
+        if l == cfg.short_overlap and fixed is not None:
+            break
+    if fixed is not None:
+        return fixed
+    if est_gap < must_overlap:
+        return None          # unreliable: demanded a big overlap, none found
+    return max(est_gap, cfg.artificial_gap)
+
+
+def refine_scaffold_gaps(
+    g: CondensedGraph, paths: list[Path], cfg: PEConfig
+) -> list[Path]:
+    """Run the composite gap analyzer over every scaffold N-gap
+    (ScaffoldingPathExtender consults MakeGapAnalyzer at join time,
+    `extenders_logic.cpp:93-115`; here the refinement runs as a scaffold
+    post-pass).  Junctions whose join is rejected split the scaffold."""
+    out: list[Path] = []
+    for p in paths:
+        cur_edges, cur_gaps = [p.edges[0]], [p.gaps[0]]
+        for i in range(1, len(p.edges)):
+            gap = int(p.gaps[i])
+            e_prev, e_cur = int(cur_edges[-1]), int(p.edges[i])
+            if gap > 0 and int(g.e_end[e_prev]) != int(g.e_start[e_cur]):
+                fixed = analyze_gap(g, e_prev, e_cur, gap, cfg)
+                if fixed is None:
+                    out.append(Path(cur_edges, cur_gaps))
+                    cur_edges, cur_gaps = [e_cur], [0]
+                    continue
+                gap = fixed
+            cur_edges.append(e_cur)
+            cur_gaps.append(gap)
+        out.append(Path(cur_edges, cur_gaps))
+    return out
+
+
+def trim_end_overlaps(g: CondensedGraph, paths: list[Path]) -> int:
+    """End-overlap removal (`pe_resolver.hpp:34` RemoveOverlaps): when the
+    edge-suffix of one path equals the edge-prefix of another (in either
+    orientation), trim the shared run from the END of the first path so the
+    sequence is emitted exactly once.  Containments are handled separately
+    by `remove_contained`.  Mutates paths in place; returns trimmed-edge
+    count."""
+    if len(paths) < 2:
+        return 0
+    # index: first edge -> [(path j, conj?)], built once; entries are
+    # re-validated against the CURRENT path state before use (an earlier
+    # trim of path j's end moves its conjugate's first edge — acting on the
+    # stale entry would delete the shared run from BOTH paths)
+    first: dict[int, list[tuple[int, bool]]] = {}
+    for j, p in enumerate(paths):
+        if p.edges:
+            first.setdefault(int(p.edges[0]), []).append((j, False))
+            first.setdefault(int(g.e_conj[p.edges[-1]]), []).append((j, True))
+    trimmed = 0
+    for i, p in enumerate(paths):
+        n = len(p.edges)
+        if n < 2:
+            continue
+        # longest proper suffix of p that is a prefix of some other path
+        best_t = 0
+        for s in range(1, n):          # suffix start (never the whole path)
+            e = int(p.edges[s])
+            for j, is_conj in first.get(e, ()):  # noqa: B007
+                if j == i:
+                    continue
+                q = conj_path(g, paths[j]).edges if is_conj else paths[j].edges
+                if not q or int(q[0]) != e:
+                    continue           # stale index entry (j was trimmed)
+                t = n - s
+                if len(q) >= t and all(
+                    int(p.edges[s + x]) == int(q[x]) for x in range(t)
+                ) and all(p.gaps[s + x] <= 0 for x in range(1, t)):
+                    best_t = t
+                    break
+            if best_t:
+                break
+        if best_t:
+            del p.edges[n - best_t:]
+            del p.gaps[n - best_t:]
+            trimmed += best_t
+    return trimmed
 
 
 def path_to_string(g: CondensedGraph, path: Path) -> str:
@@ -773,23 +1012,28 @@ def scaffold_paths(
             e2s, ds, ws = pi.pairs_from(int(last))
             if e2s.size == 0:
                 break
-            # candidate links: to first edges of other paths
-            best_j, best_w, best_gap = None, 0.0, 0
+            # candidate links: to first edges of other paths, in either
+            # orientation — a link landing on conj(q.last) joins cur with
+            # conj(q) (the reference's paths are conjugate pairs, so both
+            # orientations are legal join targets, pe_resolver semantics)
+            best_j, best_w, best_gap, best_conj = None, 0.0, 0, False
             for e2, d, w in zip(e2s, ds, ws):
                 j = first_edge.get(int(e2))
                 if j is None:
                     continue
-                jj = j if j >= 0 else ~j
-                if jj == i or consumed[jj] or (j < 0):
-                    continue  # only forward-orientation joins in this pass
+                jj, is_conj = (j, False) if j >= 0 else (~j, True)
+                if jj == i or consumed[jj]:
+                    continue
                 gap = int(d) - (int(g.e_len[last]) - g.k)
                 if not (-g.k < gap <= cfg.max_gap):
                     continue
                 if w > best_w:
-                    best_j, best_w, best_gap = jj, float(w), gap
+                    best_j, best_w, best_gap, best_conj = jj, float(w), gap, is_conj
             if best_j is None or best_w < cfg.scaffold_min_weight:
                 break
             q = paths[best_j]
+            if best_conj:
+                q = conj_path(g, q)
             cur.edges += list(q.edges)
             cur.gaps += [max(best_gap, cfg.min_gap)] + list(q.gaps[1:])
             consumed[best_j] = True

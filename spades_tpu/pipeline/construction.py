@@ -18,7 +18,8 @@ from ..ops import count as _count
 from ..ops import extension as _ext
 
 
-def _count_auto(sequences, k1: int, batch_size: int) -> "_count.KmerCounts":
+def _count_auto(sequences, k1: int, batch_size: int,
+                timings: dict | None = None) -> "_count.KmerCounts":
     """Count (k+1)-mers on the attached hardware: the multi-chip sharded
     counter (hash routing + all_to_all over ICI, `parallel/sharded_count`)
     when more than one device is visible, else the single-chip engine —
@@ -31,7 +32,8 @@ def _count_auto(sequences, k1: int, batch_size: int) -> "_count.KmerCounts":
     except Exception:
         n_dev = 1
     if n_dev <= 1:
-        return _count.count_sequences(sequences, k1, batch_size=batch_size)
+        return _count.count_sequences(sequences, k1, batch_size=batch_size,
+                                      timings=timings)
 
     from ..core.reads import batch_iter, chop_sequences
     from ..parallel.sharded_count import count_kmers_sharded, make_mesh
@@ -52,11 +54,18 @@ def _count_auto(sequences, k1: int, batch_size: int) -> "_count.KmerCounts":
     return _count.merge_counts(runs)
 
 
+from dataclasses import field
+
+
 @dataclass
 class ConstructionResult:
     graph: CondensedGraph
     p1_counts: _count.KmerCounts       # canonical (k+1)-mer counts
     index: _ext.ExtensionIndex
+    # Per-phase wall-time account (count device/pull/merge via count_reads'
+    # keys, plus filter_s / ext_build_s / early_clip_s / condense_s) — the
+    # role of the reference's TIME_TRACE_SCOPE markers in construction.cpp.
+    timings: dict = field(default_factory=dict)
 
 
 def construct_graph(
@@ -82,13 +91,21 @@ def construct_graph(
     build clips on the OR-merged masks — the MPI_BAND allreduce point of
     construction_mpi.cpp:456.
     """
+    import time
+
     if k % 2 == 0:
         raise ValueError("k must be odd")
-    p1 = _count_auto(sequences, k + 1, batch_size)
+    tm: dict = {}
+    p1 = _count_auto(sequences, k + 1, batch_size, timings=tm)
     if min_count > 1:
+        t0 = time.perf_counter()
         keep = p1.counts >= min_count
         p1 = _count.KmerCounts(k=p1.k, words=p1.words[keep], counts=p1.counts[keep])
+        tm["filter_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     index = _ext.build_extension_index(p1)
+    tm["ext_build_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     if early_at_clip:
         from ..ops import early_clip as _early
 
@@ -101,5 +118,12 @@ def construct_graph(
         if bound is None:
             bound = (read_length - k) if read_length and read_length > k else k
         _early.clip_tips_early(index, bound)
+    if early_at_clip or early_tip_clip:
+        tm["early_clip_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     graph = _condense.condense(index, p1)
-    return ConstructionResult(graph=graph, p1_counts=p1, index=index)
+    tm["condense_s"] = round(time.perf_counter() - t0, 2)
+    for key in ("device_s", "device_first_s", "pull_s", "merge_s", "host_s"):
+        if key in tm:
+            tm[key] = round(tm[key], 2)
+    return ConstructionResult(graph=graph, p1_counts=p1, index=index, timings=tm)

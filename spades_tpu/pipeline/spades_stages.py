@@ -663,6 +663,11 @@ class RepeatResolution(AssemblyStage):
         n_loops = traverse_loops(ctx.graph, paths, cfg)
         if n_loops:
             log.info("loop traverser joined %d path pairs", n_loops)
+        from ..paired.path_extend import trim_end_overlaps
+
+        n_trim = trim_end_overlaps(ctx.graph, paths)
+        if n_trim:
+            log.info("overlap remover trimmed %d shared end edges", n_trim)
         log.info("%d paths after extension", len(paths))
 
         def to_contigs(path_list, prefix="NODE"):
@@ -700,9 +705,11 @@ class RepeatResolution(AssemblyStage):
             )
         # PathPolisher: replace scaffold N-gaps with real graph paths when a
         # bounded search finds a unique connection (launcher.cpp:477-510)
-        from ..paired.path_extend import polish_paths
+        from ..paired.path_extend import polish_paths, refine_scaffold_gaps
 
         scaffolds = polish_paths(ctx.graph, scaffolds, cfg)
+        # composite gap analyzer (LA + Hamming) over the remaining N-gaps
+        scaffolds = refine_scaffold_gaps(ctx.graph, scaffolds, cfg)
         ctx.scaffolds, ctx.scaffold_paths = to_contigs(scaffolds)
         log.info(
             "%d contigs, %d scaffolds after repeat resolution",
