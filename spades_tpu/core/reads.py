@@ -138,38 +138,50 @@ def batch_iter(
     shape in this environment while the padded-row compute costs microseconds
     — the same trade the reference makes with fixed `cell_size` splitter
     buffers (`kmer_splitter.hpp:95-111`)."""
-    buf: list = []
-    maxlen = 0
+    # Two open buffers keyed by pow2 length bucket: inputs alternating
+    # between short reads and long contig chunks keep batching instead of
+    # degenerating to size-1 flushes on every bucket switch.  A sequence
+    # joins a buffer whose bucket is within 4x of its own; the length-bucket
+    # split itself exists because a single long sequence (e.g. a prev-K
+    # contig chunk) arriving after thousands of short reads would otherwise
+    # pad EVERY buffered row to its length (97% padding was worth 10x wall
+    # in the K33 construction of the multi-K ladder).
+    bufs: list[list] = []     # [sequences]
+    maxlens: list[int] = []
 
-    def flush(seqs):
+    def flush(i: int):
+        seqs, ml = bufs.pop(i), maxlens.pop(i)
         return ReadBatch.from_sequences(
             seqs,
-            pad_len_to=_next_pow2(max(maxlen, pad_len_to)),
+            pad_len_to=_next_pow2(max(ml, pad_len_to)),
             pad_reads_to=_next_pow2(len(seqs)),
         )
 
     for s in seq_iter:
-        if buf and (len(buf) + 1) * max(maxlen, len(s)) > max_batch_nt:
-            yield flush(buf)
-            buf, maxlen = [], 0
-        # length-bucket split: a single long sequence (e.g. a prev-K contig
-        # chunk) arriving after thousands of short reads would otherwise pad
-        # EVERY buffered row to its length (97% padding was worth 10x wall in
-        # the K33 construction of the multi-K ladder).  Flush when the pow2
-        # bucket jumps by >=4x in either direction; small jumps keep batching.
-        if buf:
-            cur = _next_pow2(max(maxlen, pad_len_to))
-            new = _next_pow2(max(len(s), pad_len_to))
-            if new >= 4 * cur or cur >= 4 * new:
-                yield flush(buf)
-                buf, maxlen = [], 0
-        buf.append(s)
-        maxlen = max(maxlen, len(s))
-        if len(buf) >= batch_size:
-            yield flush(buf)
-            buf, maxlen = [], 0
-    if buf:
-        yield flush(buf)
+        new = _next_pow2(max(len(s), pad_len_to))
+        ti = None
+        for i in range(len(bufs)):
+            cur = _next_pow2(max(maxlens[i], pad_len_to))
+            if new < 4 * cur and cur < 4 * new:
+                ti = i
+                break
+        if ti is None:
+            if len(bufs) >= 2:
+                yield flush(0)          # evict the oldest open buffer
+            bufs.append([])
+            maxlens.append(0)
+            ti = len(bufs) - 1
+        elif (len(bufs[ti]) + 1) * max(maxlens[ti], len(s)) > max_batch_nt:
+            yield flush(ti)
+            bufs.append([])
+            maxlens.append(0)
+            ti = len(bufs) - 1
+        bufs[ti].append(s)
+        maxlens[ti] = max(maxlens[ti], len(s))
+        if len(bufs[ti]) >= batch_size:
+            yield flush(ti)
+    while bufs:
+        yield flush(0)
 
 
 def chop_sequences(seqs: Iterable[str], k: int, max_len: int = 4096) -> Iterable[str]:

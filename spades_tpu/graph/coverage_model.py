@@ -62,19 +62,29 @@ def _dzeta(copy: np.ndarray, zp: float) -> np.ndarray:
 
 
 def _perr(i: np.ndarray, scale: float, shape: float) -> np.ndarray:
-    """Discretized generalized-Pareto error density over multiplicity i>=1."""
-    a = np.power(1.0 + shape * (i - 1.0) / scale, -1.0 / shape)
-    b = np.power(1.0 + shape * i / scale, -1.0 / shape)
-    return a - b
+    """Discretized generalized-Pareto error density over multiplicity i>=1.
+    Out-of-support parameter corners (negative base under the power) yield
+    density 0 instead of NaN."""
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        a = np.power(1.0 + shape * (i - 1.0) / scale, -1.0 / shape)
+        b = np.power(1.0 + shape * i / scale, -1.0 / shape)
+        out = a - b
+    return np.where(np.isfinite(out), out, 0.0)
 
 
 def _skew_normal_pdf(x: np.ndarray, loc, omega, alpha) -> np.ndarray:
+    """Guarded like the reference's numeric clamps (kmer_coverage_model.cpp):
+    a degenerate omega or overflowing tail must yield density 0, not NaN —
+    the EM explores such corners before converging."""
     from scipy.special import erf
 
-    t = (x - loc) / omega
-    phi = np.exp(-0.5 * t * t) / np.sqrt(2.0 * np.pi)
-    Phi = 0.5 * (1.0 + erf(alpha * t / np.sqrt(2.0)))
-    return 2.0 / omega * phi * Phi
+    omega = np.maximum(np.asarray(omega, np.float64), 1e-300)
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        t = (x - loc) / omega
+        phi = np.exp(-0.5 * t * t) / np.sqrt(2.0 * np.pi)
+        Phi = 0.5 * (1.0 + erf(alpha * t / np.sqrt(2.0)))
+        out = 2.0 / omega * phi * Phi
+    return np.where(np.isfinite(out), out, 0.0)
 
 
 def _pgood(i: np.ndarray, zp: float, u: float, sd: float, shape2: float,

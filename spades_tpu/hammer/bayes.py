@@ -46,10 +46,17 @@ def quals_to_array(quals: list[str], L: int, offset: int = 33) -> np.ndarray:
     Positions beyond a read's length get error prob 1.0 (no information)."""
     R = len(quals)
     # uniform-length fast path (the overwhelmingly common case): one
-    # frombuffer over the joined strings instead of a per-read Python loop
-    if R and all(len(q) == L for q in quals):
-        a = np.frombuffer("".join(quals).encode("ascii"), np.uint8).reshape(R, L)
-        return phred_to_err(a, offset)
+    # frombuffer over the joined strings instead of a per-read Python loop.
+    # L is the padded batch row length, so compare reads against EACH OTHER
+    # (len(quals[0])), then pad columns up to L with err=1.0.
+    if R:
+        L0 = len(quals[0])
+        if 0 < L0 <= L and all(len(q) == L0 for q in quals):
+            a = np.frombuffer("".join(quals).encode("ascii"), np.uint8)
+            err0 = phred_to_err(a.reshape(R, L0), offset)
+            if L0 == L:
+                return err0
+            return np.pad(err0, ((0, 0), (0, L - L0)), constant_values=1.0)
     err = np.ones((R, L), np.float32)
     for i, qs in enumerate(quals):
         if not qs:
@@ -263,17 +270,23 @@ def subcluster_all(
     nsub_of = np.ones(n_clusters, np.int64)   # sub-cluster count per cluster
     eligible = (sizes >= 2) & (sizes <= max_members)
     for m in np.unique(sizes[eligible]):
-        rows = np.flatnonzero(eligible & (sizes == m))
-        # (C, M) member positions in `order`
-        pos = starts[rows][:, None] + np.arange(m)[None, :]
-        members = order[pos]  # (C, M) global k-mer rows
-        sub = batched_lmeans(
-            codes_all[members],
-            counts[members].astype(np.float64),
-            kq.pos_err_prob(members.ravel()).reshape(len(rows), m, k),
-        )
-        sub_of[pos.ravel()] = sub.ravel()
-        nsub_of[rows] = sub.max(axis=1) + 1
+        all_rows = np.flatnonzero(eligible & (sizes == m))
+        # chunk the cluster axis: batched_lmeans materializes (C, M, l, k)
+        # float64 temporaries, and real datasets have millions of size-2
+        # clusters — cap the per-call element count at ~25M (~200 MB/temp)
+        c_chunk = max(1, 25_000_000 // (int(m) * 5 * k))
+        for c0 in range(0, len(all_rows), c_chunk):
+            rows = all_rows[c0 : c0 + c_chunk]
+            # (C, M) member positions in `order`
+            pos = starts[rows][:, None] + np.arange(m)[None, :]
+            members = order[pos]  # (C, M) global k-mer rows
+            sub = batched_lmeans(
+                codes_all[members],
+                counts[members].astype(np.float64),
+                kq.pos_err_prob(members.ravel()).reshape(len(rows), m, k),
+            )
+            sub_of[pos.ravel()] = sub.ravel()
+            nsub_of[rows] = sub.max(axis=1) + 1
 
     # dense renumber: cluster c's sub-label s -> base[c] + s
     base = np.concatenate([[0], np.cumsum(nsub_of)[:-1]])

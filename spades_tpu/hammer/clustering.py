@@ -135,7 +135,23 @@ def _union_block_pairs(
     if not blocks:
         return
     pa, pb = [], []
+    pending = 0
     triu_cache: dict[int, tuple] = {}
+
+    def _flush() -> None:
+        nonlocal pa, pb, pending
+        if not pending:
+            return
+        A = np.concatenate(pa)
+        B = np.concatenate(pb)
+        pa, pb, pending = [], [], 0
+        for off in range(0, len(A), chunk):
+            a = A[off : off + chunk]
+            b = B[off : off + chunk]
+            d = hamming_distance(words[a], words[b])
+            for i, j in zip(a[d <= tau], b[d <= tau]):
+                dsu.union(int(i), int(j))
+
     for idx in blocks:
         n = len(idx)
         if n not in triu_cache:
@@ -143,14 +159,14 @@ def _union_block_pairs(
         iu, ju = triu_cache[n]
         pa.append(idx[iu])
         pb.append(idx[ju])
-    A = np.concatenate(pa)
-    B = np.concatenate(pb)
-    for off in range(0, len(A), chunk):
-        a = A[off : off + chunk]
-        b = B[off : off + chunk]
-        d = hamming_distance(words[a], words[b])
-        for i, j in zip(a[d <= tau], b[d <= tau]):
-            dsu.union(int(i), int(j))
+        pending += len(iu)
+        # stream: run the distance test whenever the accumulated pair count
+        # exceeds one chunk instead of materializing the full pair set (many
+        # near-cap blocks on low-complexity inputs would otherwise
+        # concatenate O(sum n_i^2) indices at once)
+        if pending >= chunk:
+            _flush()
+    _flush()
 
 
 def cluster_kmers(words: np.ndarray, k: int, tau: int = 1, cap: int = 256) -> np.ndarray:
