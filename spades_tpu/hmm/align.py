@@ -17,12 +17,16 @@ with a per-destination argmax.  Amino profiles step three cursors per
 layer (codon steps); the reverse strand needs no special handling because
 the conjugate edges are first-class cursors.
 
-The per-sequence `viterbi_score` (used by the read-level domain callers and
-as the scoring model definition) is unchanged: plan7 local mode simplified
-to match-to-match transitions with uniform entry/exit, scores in nats of
-background-minus-model log-odds.  The graph DP uses the identical
-recurrence, so a path's DP score equals `viterbi_score` of its spelled
-sequence."""
+The per-sequence `viterbi_score` (the scoring model definition, used by the
+read-level domain callers) and the graph DP both run the FULL plan7 local
+recurrence — match, insert (cursor advances, state stays) and delete (state
+advances, cursor stays) planes, mirroring the reference's
+StateSet/DeletionStateSet machinery (`hmmpath.hpp:271-272` DeletionStateSet,
+`:734-762` dm_new M/I/D merges, insert loops capped at
+`fees.max_insertion_length` = 30, `fees.hpp:43`) — with uniform local
+entry/exit, scores in nats of background-minus-model log-odds.  The two use
+the identical recurrence, so a path's graph-DP score equals `viterbi_score`
+of its spelled sequence."""
 from __future__ import annotations
 
 import logging
@@ -91,40 +95,75 @@ def _encode_for(hmm: ProfileHMM, seq: str) -> np.ndarray:
 
 
 def viterbi_score(hmm: ProfileHMM, seq: str) -> tuple[float, int, int]:
-    """Local Viterbi: best -ln-odds score of aligning the profile inside seq.
+    """Local plan7 Viterbi (M/I/D states): best log-odds score of aligning
+    the profile inside seq.
 
     Returns (score, start, end) with positive score = better than background
-    (scores are accumulated as background minus model, in nats)."""
-    if (hmm.K == 4 and len(seq) == 0) or len(seq) == 0:
+    (scores are accumulated as background minus model, in nats).  Plane u
+    (0-based) holds model node u+1; transitions out of node v live in
+    hmm.trans row v (m->m, m->i, m->d, i->m, i->i, d->m, d->d)."""
+    if len(seq) == 0:
         return -np.inf, 0, 0
     x = _encode_for(hmm, seq)
     L = len(x)
     M = hmm.length
     bg = hmm.compo if hmm.compo is not None else np.full(hmm.K, -np.log(1.0 / hmm.K))
     # emission log-odds: ln(p_match / p_background) = bg_score - match_score
-    lo = bg[None, :] - hmm.match_emit[1:, :]          # (M, K)
-    tmm = -hmm.trans[0:M, 0]                          # ln p(m->m) rows 0..M-1
+    mlo = bg[None, :] - hmm.match_emit[1:, :]         # (M, K)  plane u <- node u+1
+    ilo = bg[None, :] - hmm.insert_emit[1:, :]        # (M, K)
+    t = -hmm.trans                                    # (M+1, 7) ln p
+    tmm, tmi, tmd, tim, tii, tdm, tdd = (t[:, q] for q in range(7))
     # uniform local entry/exit (plan7 local mode simplification)
     entry = -np.log(M)
-    V = np.full((M,), -np.inf)
+    NEG = -np.inf
+    Mv = np.full(M, NEG)
+    Iv = np.full(M, NEG)
+    Dv = np.full(M, NEG)
+    sM = np.zeros(M, np.int64)
+    sI = np.zeros(M, np.int64)
+    sD = np.zeros(M, np.int64)
+    # delete-chain closed form helpers: cd[u] = sum_{v<=u} tdd[v] over planes
+    cdd = np.concatenate([[0.0], np.cumsum(tdd[1:M])])  # (M,) cd[u]=sum tdd[1..u]
     best = (-np.inf, 0, 0)
-    start_of = np.zeros(M, np.int64)
+    planes = np.arange(M)
     for i in range(L):
-        e = lo[:, x[i]]
-        stay = V[:-1] + tmm[1:M]                       # come from state j-1
-        newV = np.empty_like(V)
-        newV[0] = entry + e[0]
-        ns = np.empty_like(start_of)
-        ns[0] = i
-        cont = stay + e[1:]
-        fresh = entry + e[1:]
-        take_cont = cont >= fresh
-        newV[1:] = np.where(take_cont, cont, fresh)
-        ns[1:] = np.where(take_cont, start_of[:-1], i)
-        V, start_of = newV, ns
-        j = int(np.argmax(V))
-        if V[j] > best[0]:
-            best = (float(V[j]), int(start_of[j]), i + 1)
+        e_m = mlo[:, x[i]]
+        e_i = ilo[:, x[i]]
+        # --- M plane: from (M/I/D at plane u-1, position i-1) or fresh entry
+        contM = Mv[:-1] + tmm[1:M]
+        contI = Iv[:-1] + tim[1:M]
+        contD = Dv[:-1] + tdm[1:M]
+        stay = np.maximum(np.maximum(contM, contI), contD)
+        s_stay = np.where(
+            contM >= np.maximum(contI, contD), sM[:-1],
+            np.where(contI >= contD, sI[:-1], sD[:-1]),
+        )
+        newM = np.empty(M)
+        nsM = np.empty(M, np.int64)
+        newM[0] = entry + e_m[0]
+        nsM[0] = i
+        take_cont = stay >= entry
+        newM[1:] = np.where(take_cont, stay, entry) + e_m[1:]
+        nsM[1:] = np.where(take_cont, s_stay, i)
+        # --- I plane: from M/I at the SAME plane, position i-1
+        fromM = Mv + tmi[1 : M + 1]
+        fromI = Iv + tii[1 : M + 1]
+        newI = np.maximum(fromM, fromI) + e_i
+        nsI = np.where(fromM >= fromI, sM, sI)
+        # --- D plane (within-position over planes): D[u] = max(M[u-1]+tmd[u],
+        # D[u-1]+tdd[u]); closed form via prefix max of newM[w]+tmd[w+1]-cd[w+1]
+        with np.errstate(invalid="ignore"):
+            a = np.full(M, NEG)
+            a[1:] = newM[:-1] + tmd[1:M] - cdd[1:]
+            run = np.maximum.accumulate(a)
+            newD = run + cdd
+            # start positions: index of the running max source
+            src_idx = np.maximum.accumulate(np.where(a >= run, planes, -1))
+            nsD = np.where(src_idx >= 1, nsM[np.maximum(src_idx - 1, 0)], 0)
+        Mv, Iv, Dv, sM, sI, sD = newM, newI, newD, nsM, nsI, nsD
+        j = int(np.argmax(Mv))
+        if Mv[j] > best[0]:
+            best = (float(Mv[j]), int(sM[j]), i + 1)
     return best
 
 
@@ -299,9 +338,12 @@ def align_hmm_to_graph(
     M = hmm.length
     bg = hmm.compo if hmm.compo is not None else np.full(hmm.K, -np.log(1.0 / hmm.K))
     lo = bg[None, :] - hmm.match_emit[1:, :]          # (M, K)
-    tmm = -hmm.trans[0:M, 0]
+    ins_lo = bg[None, :] - hmm.insert_emit[1:, :]     # (M, K)
+    t_ = -hmm.trans                                   # (M+1, 7) ln p
+    tmm, tmi, tmd, tim, tii, tdm, tdd = (t_[:, q] for q in range(7))
     entry = -np.log(M)
-    est = M * n * 5
+    max_insert_run = 30                               # fees.hpp:43 max_insertion_length
+    est = M * n * 11
     if est > 1e9:
         log.warning(
             "pathracer DP: %d states x %d cursors ~= %.1f GB of backpointers",
@@ -339,47 +381,128 @@ def align_hmm_to_graph(
             xm1, xm2 = xm1[xo], xm2[xo]
 
     NEG = -np.inf
+
+    def _grouped_best(xc: np.ndarray) -> np.ndarray:
+        """Index of the best extra per destination (extras pre-sorted by
+        xdst): returns indices w (one per distinct dst) of per-dst argmax."""
+        bo = np.lexsort((-xc, xdst))
+        first = np.ones(len(bo), bool)
+        first[1:] = xdst[bo[1:]] != xdst[bo[:-1]]
+        return bo[first]
+
+    def _insert_plane(S: np.ndarray, j: int):
+        """Build the insert plane for layer j (insert state after node j+1):
+        transfer from the layer's match plane, then relax the I->I loop to
+        fixpoint (<= max_insert_run rounds, `hmmpath.hpp:649`).
+
+        Returns (I, geom int32 (-1 within / extra idx), fromM bool)."""
+        tmi_j = tmi[j + 1]
+        tii_j = tii[j + 1]
+        e_i = np.where(valid, ins_lo[j][sym], NEG)
+        with np.errstate(invalid="ignore"):
+            I = np.where(has_pred, S[pred] + tmi_j, NEG) + e_i
+        geom = np.full(n, -1, np.int32)
+        fromM = np.ones(n, bool)
+        if len(xdst):
+            with np.errstate(invalid="ignore"):
+                xi = S[xsrc] + tmi_j + ins_lo[j][xaa]
+            w = _grouped_best(xi)
+            better = xi[w] > I[xdst[w]]
+            wb = w[better]
+            I[xdst[wb]] = xi[wb]
+            geom[xdst[wb]] = wb.astype(np.int32)
+        for _ in range(max_insert_run):
+            changed = False
+            with np.errstate(invalid="ignore"):
+                cand = np.where(has_pred, I[pred] + tii_j, NEG) + e_i
+            upd = cand > I
+            if upd.any():
+                I[upd] = cand[upd]
+                geom[upd] = -1
+                fromM[upd] = False
+                changed = True
+            if len(xdst):
+                with np.errstate(invalid="ignore"):
+                    xi = I[xsrc] + tii_j + ins_lo[j][xaa]
+                w = _grouped_best(xi)
+                better = xi[w] > I[xdst[w]]
+                wb = w[better]
+                if len(wb):
+                    I[xdst[wb]] = xi[wb]
+                    geom[xdst[wb]] = wb.astype(np.int32)
+                    fromM[xdst[wb]] = False
+                    changed = True
+            if not changed:
+                break
+        return I, geom, fromM
+
     emit0 = np.where(valid, lo[0][sym], NEG)
     S = entry + emit0                                  # layer 0: fresh start
     # extras can also fresh-start layer 0 (their emission differs from the
     # within-edge codon at the same dst)
     bp_geom = [np.full(n, -1, np.int32)]               # -1 = within-edge
-    bp_fresh = [np.ones(n, bool)]
+    bp_src = [np.full(n, 3, np.uint8)]                 # 0=M 1=I 2=D 3=fresh
     if len(xdst):
         cand0 = entry + lo[0][xaa]
-        bo = np.lexsort((-cand0, xdst))
-        first = np.ones(len(bo), bool)
-        first[1:] = xdst[bo[1:]] != xdst[bo[:-1]]
-        w = bo[first]
+        w = _grouped_best(cand0)
         better = cand0[w] > S[xdst[w]]
         S[xdst[w[better]]] = cand0[w[better]]
         bp_geom[0][xdst[w[better]]] = w[better].astype(np.int32)
 
+    I, ig, ifm = _insert_plane(S, 0)
+    bpI_geom = [ig]
+    bpI_fromM = [ifm]
+    D = np.full(n, NEG)                                # delete at node 1: unreachable
+    bpD_fromM = [np.ones(n, bool)]
+
     E = S.copy()                                       # best ending score per cursor
     jend = np.zeros(n, np.int64)
     for j in range(1, M):
-        t = tmm[j]
+        # --- delete plane for this layer (state advances, cursor stays):
+        # D_j[c] = max(M_{j-1}[c] + t_MD[j], D_{j-1}[c] + t_DD[j])
         with np.errstate(invalid="ignore"):
-            cont = np.where(has_pred, S[pred] + t, NEG)
+            d_from_m = S + tmd[j]
+            d_from_d = D + tdd[j]
+        newD = np.maximum(d_from_m, d_from_d)
+        bpD_fromM.append(d_from_m >= d_from_d)
+        # --- source pool at each cursor: best of M/I/D at layer j-1
+        with np.errstate(invalid="ignore"):
+            pm = S + tmm[j]
+            pi_ = I + tim[j]
+            pd = D + tdm[j]
+        preM = np.maximum(np.maximum(pm, pi_), pd)
+        src_code = np.where(
+            pm >= np.maximum(pi_, pd), np.uint8(0),
+            np.where(pi_ >= pd, np.uint8(1), np.uint8(2)),
+        )
+        with np.errstate(invalid="ignore"):
+            cont = np.where(has_pred, preM[pred], NEG)
         start = np.where(valid, entry, NEG)
         fresh = start > cont          # ties keep continuation (viterbi_score parity)
         base_scr = np.where(fresh, start, cont) + np.where(valid, lo[j][sym], NEG)
         geom = np.full(n, -1, np.int32)
+        srcp = np.where(
+            fresh, np.uint8(3),
+            np.where(has_pred, src_code[np.maximum(pred, 0)], np.uint8(3)),
+        )
         if len(xdst):
             with np.errstate(invalid="ignore"):
-                xc = np.maximum(S[xsrc] + t, entry) + lo[j][xaa]
-            bo = np.lexsort((-xc, xdst))
-            first = np.ones(len(bo), bool)
-            first[1:] = xdst[bo[1:]] != xdst[bo[:-1]]
-            w = bo[first]
+                xc = np.maximum(preM[xsrc], entry) + lo[j][xaa]
+            w = _grouped_best(xc)
             better = xc[w] > base_scr[xdst[w]]
             wb = w[better]
             base_scr[xdst[wb]] = xc[wb]
             geom[xdst[wb]] = wb.astype(np.int32)
-            fresh[xdst[wb]] = entry >= S[xsrc[wb]] + t
+            srcp[xdst[wb]] = np.where(
+                entry >= preM[xsrc[wb]], np.uint8(3), src_code[xsrc[wb]]
+            )
         S = base_scr
         bp_geom.append(geom)
-        bp_fresh.append(fresh)
+        bp_src.append(srcp)
+        I, ig, ifm = _insert_plane(S, j)
+        bpI_geom.append(ig)
+        bpI_fromM.append(ifm)
+        D = newD
         upd = S > E
         E[upd] = S[upd]
         jend[upd] = j
@@ -395,27 +518,51 @@ def align_hmm_to_graph(
     cands = order[first]
     cands = cands[np.argsort(-E[cands], kind="stable")]
 
+    def _consume(c: int, gm: int, out: list[int]) -> int:
+        """Append the cursor(s) consumed at c (codon triple for amino) and
+        return the predecessor cursor."""
+        if gm >= 0:                                    # junction extra
+            if amino:
+                out.extend([c, int(xm2[gm]), int(xm1[gm])])
+            else:
+                out.append(c)
+            return int(xsrc[gm])
+        if amino:
+            out.extend([c, c - 1, c - 2])
+        else:
+            out.append(c)
+        return c - step
+
     def _traceback(c: int) -> list[int]:
-        """Consumed cursors of the best alignment ending at cursor c."""
+        """Consumed cursors of the best alignment ending at cursor c,
+        walking the M/I/D planes (match: state+cursor advance; insert:
+        cursor-only; delete: state-only)."""
         j = int(jend[c])
         out: list[int] = []
-        while True:
-            gm = int(bp_geom[j][c])
-            if gm >= 0:                                # junction extra
-                if amino:
-                    out.extend([c, int(xm2[gm]), int(xm1[gm])])
-                else:
-                    out.append(c)
-                nxt = int(xsrc[gm])
-            else:                                      # within-edge
-                if amino:
-                    out.extend([c, c - 1, c - 2])
-                else:
-                    out.append(c)
-                nxt = c - step
-            if bp_fresh[j][c] or j == 0:
-                break
-            c, j = nxt, j - 1
+        plane = 0                                      # start at the match exit
+        guard = 10 * M + 10 * max_insert_run * M + 1000
+        while guard > 0:
+            guard -= 1
+            if plane == 0:
+                nxt = _consume(c, int(bp_geom[j][c]), out)
+                src = int(bp_src[j][c])
+                if src == 3 or j == 0:
+                    break
+                plane = src                            # 0=M 1=I 2=D at layer j-1
+                c, j = nxt, j - 1
+            elif plane == 1:                           # insert after node j+1
+                nxt = _consume(c, int(bpI_geom[j][c]), out)
+                if bpI_fromM[j][c]:
+                    plane = 0                          # M at the SAME layer j —
+                    # but M_j at cursor nxt was already counted when we came
+                    # FROM it; the M traceback below will consume nxt itself
+                c = nxt
+            else:                                      # delete: no emission
+                if j == 0:
+                    break
+                if bpD_fromM[j][c]:
+                    plane = 0
+                j -= 1
         out.reverse()
         return out
 

@@ -166,3 +166,64 @@ class TestCursorDP:
         t = translate(hits[0].seq)
         trc = translate(dna.revcomp_str(hits[0].seq))
         assert pep in t or pep in trc
+
+
+class TestPlan7Indels:
+    """Full plan7 M/I/D recurrences (VERDICT r4 item 4): alignments with
+    insertions and deletions must score correctly in BOTH the sequence
+    Viterbi and the graph cursor DP (reference: hmmpath.hpp:271-272,734-762)."""
+
+    @staticmethod
+    def _indel_motif():
+        # 2-base insertion after position 12, 1-base deletion at position 20
+        m = MOTIF
+        return m[:12] + "GT" + m[12:20] + m[21:]
+
+    def test_viterbi_scores_indel_motif(self):
+        h = hmm_from_consensus(MOTIF)
+        seq = _random_seq(80, 5) + self._indel_motif() + _random_seq(80, 6)
+        score, a, b = viterbi_score(h, seq)
+        # all but ~3 of the 27 positions still match through I/D states
+        assert score > 10
+        assert abs(a - 80) <= 3
+
+    def test_graph_dp_matches_sequence_viterbi_single_edge(self):
+        h = hmm_from_consensus(MOTIF)
+        seq = _random_seq(60, 7) + self._indel_motif() + _random_seq(60, 8)
+        g = construct_graph([seq], K).graph
+        edge_seqs = [g.edge_seq(int(e)) for e in g.alive_edge_ids()]
+        assert seq in edge_seqs or dna.revcomp_str(seq) in edge_seqs
+        hits = align_hmm_to_graph(g, h, score_threshold=5.0)
+        assert hits
+        ref_score, _, _ = viterbi_score(h, seq)
+        assert np.isclose(hits[0].score, ref_score, atol=1e-6), (
+            hits[0].score, ref_score,
+        )
+
+    def test_graph_dp_indel_across_junction(self):
+        # motif with an insertion spans a junction: two branches share the
+        # motif suffix; the DP must cross the junction through I/D states
+        h = hmm_from_consensus(MOTIF)
+        ind = self._indel_motif()
+        cut = 15
+        a1 = _random_seq(120, 9) + ind[:cut]
+        shared = ind[cut:] + _random_seq(120, 10)
+        s1 = a1 + shared
+        s2 = _random_seq(120, 11) + shared
+        g = construct_graph([s1, s2], K).graph
+        hits = align_hmm_to_graph(g, h, score_threshold=5.0)
+        assert hits
+        ref_score, _, _ = viterbi_score(h, s1)
+        assert hits[0].score >= ref_score - 1e-6
+
+    def test_deletion_only_run(self):
+        # 3-base deletion: D-chain of length 3
+        h = hmm_from_consensus(MOTIF)
+        m = MOTIF[:10] + MOTIF[13:]
+        seq = _random_seq(70, 12) + m + _random_seq(70, 13)
+        score, _, _ = viterbi_score(h, seq)
+        assert score > 8
+        g = construct_graph([seq], K).graph
+        hits = align_hmm_to_graph(g, h, score_threshold=5.0)
+        assert hits
+        assert np.isclose(hits[0].score, score, atol=1e-6)
