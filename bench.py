@@ -23,22 +23,34 @@ dispatch+scalar round trip costs ~25-30 ms of pure network latency, which
 would dominate at the measured ~0.5 ms/step; the dispatch floor is measured
 with a trivial kernel and subtracted.
 
-Baseline: the reference publishes no counting throughput; BASELINE.md's
-north-star is >=5x the 32-thread C++ SPAdes counting rate.  We anchor the
-baseline at 150e6 canonical k-mers/s/host, a KMC2-class estimate for 32-core
-disk-backed counting (KMC2 paper reports ~2-4 min for ~9e9 k-mers on 32
-threads ~= 40-75e6/s incl. IO; in-memory SPAdes-style buckets are faster, so
-150e6/s is a deliberately conservative-high anchor).  vs_baseline is
-ours/baseline; the >=5x target means vs_baseline >= 5.
+Baseline: MEASURED from the reference binaries built out of /root/reference
+and run on this host (BASELINE_MEASURED.json): `spades-kmercount -k 21 -t 2`
+counts the shared 10 Mb dataset's 260M windows at 6.84 Mkmers/s on the host's
+2 threads; the >=5x north-star is against 32-thread C++ SPAdes, so the
+anchor is the linear 32-thread extrapolation 109.5e6 kmers/s (optimistic for
+the reference: its disk-bucket pipeline does not scale linearly).  When
+BASELINE_MEASURED.json is absent the prior KMC2-class estimate (150e6)
+applies.  vs_baseline is ours/baseline; the >=5x target means
+vs_baseline >= 5.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_KMERS_PER_SEC = 150e6
+BASELINE_KMERS_PER_SEC = 150e6  # KMC2-class estimate (fallback)
+_bm = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+if os.path.exists(_bm):
+    try:
+        with open(_bm) as _fh:
+            BASELINE_KMERS_PER_SEC = (
+                json.load(_fh)["kmercount_10mb"]["mkmers_per_s_32threads_linear_extrapolation"] * 1e6
+            )
+    except Exception:  # noqa: BLE001 — fall back to the estimate
+        pass
 K = 21
 R, L = 4096, 256
 ITERS = 256
@@ -201,101 +213,184 @@ def bench_simplify() -> dict:
     }
 
 
-def bench_e2e() -> dict:
-    """End-to-end assembly benchmark (VERDICT r2 item 2 / BASELINE config 3):
-    reads -> contigs on a 10 Mb synthetic genome, 30x 150 bp paired-free
-    reads with 0.3% substitution errors, k=21/33/55 ladder with contig
-    feed-forward.  Reports total wall, per-stage breakdown (count /
-    coverage-model / simplify / output per k), and reads/s.
+def make_e2e_dataset(G: int, cov: int, rl: int, err: float, seed: int = 42,
+                     insert_mean: int = 400, insert_sd: int = 30):
+    """Shared e2e dataset (ours AND the measured reference baseline run):
+    G-nt random genome with planted dispersed repeats (3x500bp x 30 copies +
+    1x2kb x 10 copies — the repeat structure RR/scaffolding must resolve,
+    BASELINE config 3), FR paired reads at the given coverage with
+    substitution errors.  Returns (genome_codes, r1_codes, r2_codes)."""
+    import numpy as np
 
-    In this environment XLA programs compile through a shared remote compile
-    service with seconds-to-minutes (and erratic) latency; compile cost is
-    isolated in `compile_s_est` (first-batch wall minus warm median x batch
-    count) so the steady-state number is visible separately — on a directly
-    attached TPU host the compile happens once per shape and is amortized
-    across runs.  Set SPADES_BENCH_E2E=0 to skip."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    elems = [rng.integers(0, 4, 500).astype(np.uint8) for _ in range(3)]
+    elems.append(rng.integers(0, 4, 2000).astype(np.uint8))
+    for el, cnt in zip(elems, (30, 30, 30, 10)):
+        for pos in rng.integers(0, G - len(el), cnt):
+            genome[pos : pos + len(el)] = el
+    n_pairs = G * cov // (2 * rl)
+    isize = np.clip(
+        rng.normal(insert_mean, insert_sd, n_pairs).astype(np.int64), 2 * rl, None
+    )
+    starts = rng.integers(0, G - isize.max() - 1, n_pairs)
+    r1 = genome[starts[:, None] + np.arange(rl)]
+    # FR: read2 is the reverse complement of the insert's right end
+    r2f = genome[(starts + isize - rl)[:, None] + np.arange(rl)]
+    r2 = (3 - r2f)[:, ::-1]
+    for r in (r1, r2):
+        em = rng.random(r.shape) < err
+        r[em] = (r[em] + rng.integers(1, 4, int(em.sum()))) & 3
+    return genome, r1, r2
+
+
+def write_e2e_fastq(outdir: str, G: int = 10_000_000, cov: int = 30,
+                    rl: int = 150, err: float = 0.003, seed: int = 42) -> None:
+    """Write the shared e2e dataset as FASTQ pairs (+ genome FASTA) so the
+    reference assembler can run the identical workload."""
     import os
+
+    import numpy as np
+
+    os.makedirs(outdir, exist_ok=True)
+    genome, r1, r2 = make_e2e_dataset(G, cov, rl, err, seed)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    qual = "I" * rl
+    for name, arr in (("r1", r1), ("r2", r2)):
+        with open(os.path.join(outdir, f"{name}.fq"), "w") as fh:
+            for i in range(arr.shape[0]):
+                fh.write(
+                    f"@p{i}/{1 if name == 'r1' else 2}\n"
+                    + acgt[arr[i]].tobytes().decode() + f"\n+\n{qual}\n"
+                )
+    with open(os.path.join(outdir, "genome.fasta"), "w") as fh:
+        fh.write(">genome\n")
+        g = acgt[genome].tobytes().decode()
+        for a in range(0, len(g), 80):
+            fh.write(g[a : a + 80] + "\n")
+
+
+def _n50(lens: list[int]) -> int:
+    acc = 0
+    for L in lens:
+        acc += L
+        if acc * 2 >= sum(lens):
+            return L
+    return 0
+
+
+def _genome_fraction(contigs: list[str], genome, anchor: int = 63) -> float:
+    """Approximate covered genome fraction: share of sampled genome anchors
+    (every 500th canonical `anchor`-mer) present in the contig set."""
+    import numpy as np
+
+    from spades_tpu.core import dna
+    from spades_tpu.ops.count import count_sequences, searchsorted_rows
+
+    if not contigs:
+        return 0.0
+    kc = count_sequences(contigs, anchor, batch_size=16384)
+    gseq = dna.decode(np.asarray(genome, np.uint8))
+    stride = 500
+    wins = [gseq[a : a + anchor] for a in range(0, len(gseq) - anchor, stride)]
+    gk = count_sequences(wins, anchor, batch_size=16384)
+    hit = searchsorted_rows(kc.words, gk.words) >= 0
+    total = gk.counts.sum()
+    return float((gk.counts * hit).sum() / max(total, 1))
+
+
+def bench_e2e() -> dict:
+    """End-to-end assembly benchmark (BASELINE config 3): PAIRED reads ->
+    contigs + scaffolds on a 10 Mb synthetic genome with planted repeats,
+    30x FR 2x150 bp pairs (IS 400+-30) with 0.3% substitution errors,
+    k=21/33/55 ladder, full pipeline including PairInfoCount -> distance
+    estimation -> exSPAnder repeat resolution -> scaffolding (run through
+    the real stage manager, `pipeline/run.py:run_assembly`).
+
+    The measured reference baseline for the SAME dataset (reference SPAdes
+    built from /root/reference, run on this host via
+    `.refbuild/inst/bin/spades.py --only-assembler -k 21,33,55`) is read
+    from BASELINE_MEASURED.json when present and echoed as `ref_measured`.
+
+    XLA compile cost is isolated in `compile_s_est` (first-dispatch wall
+    minus warm per-batch mean); the persistent compile cache
+    (spades_tpu.__init__) makes it a once-per-machine cost.
+    Set SPADES_BENCH_E2E=0 to skip."""
+    import json
+    import os
+    import tempfile
     import time
 
     if os.environ.get("SPADES_BENCH_E2E", "1") == "0":
         return {}
 
-    import numpy as np
+    from spades_tpu.pipeline import spades_stages
+    from spades_tpu.pipeline.run import run_assembly
+    from spades_tpu.pipeline.stages import STAGE_TIMES
 
-    from spades_tpu.graph.coverage_model import fit_coverage_model
-    from spades_tpu.graph.simplify import SimplifyConfig, simplify
-    from spades_tpu.io.contigs import extract_contigs
-    from spades_tpu.pipeline.construction import construct_graph
-
-    rng = np.random.default_rng(42)
     G = int(float(os.environ.get("SPADES_BENCH_E2E_MB", "10")) * 1e6)
     cov, rl, err = 30, 150, 0.003
-    genome = rng.integers(0, 4, G).astype(np.uint8)
-    n_reads = G * cov // rl
-    starts = rng.integers(0, G - rl, n_reads)
-    codes = genome[starts[:, None] + np.arange(rl)]
-    em = rng.random((n_reads, rl)) < err
-    codes[em] = (codes[em] + rng.integers(1, 4, int(em.sum()))) & 3
-    reads = list(codes)  # row views; ReadBatch accepts uint8 code arrays
+    genome, r1, r2 = make_e2e_dataset(G, cov, rl, err, seed=42)
+    lefts = list(r1)
+    rights = list(r2)
+    n_reads = len(lefts) + len(rights)
 
-    stage_s: dict[str, float] = {}
-    phase_s: dict[str, dict] = {}
-    compile_est = 0.0
+    STAGE_TIMES.clear()
+    spades_stages.CONSTRUCT_PHASES.clear()
+    outdir = tempfile.mkdtemp(prefix="bench_e2e_")
     t_all = time.perf_counter()
-    prev: list[str] | None = None
-    contigs = []
-    for k in (21, 33, 55):
-        seqs = reads if prev is None else reads + prev
-        t0 = time.perf_counter()
-        res = construct_graph(seqs, k, batch_size=262144)
-        stage_s[f"k{k}_construct"] = round(time.perf_counter() - t0, 1)
-        tm = res.timings
-        phase_s[f"k{k}_construct"] = tm
-        # compile estimate: the first device dispatch carries the XLA compile
-        # (remote compile service); steady-state per-batch cost is the mean of
-        # the remaining dispatches of the same shape
+    res = run_assembly(
+        lefts + rights, [21, 33, 55], outdir,
+        paired_libs=[(lefts, rights)], read_length=rl, checkpoints="none",
+    )
+    wall = time.perf_counter() - t_all
+
+    stage_s = {f"k{k}_{sid}": dt for k, sid, dt in STAGE_TIMES}
+    phase_s = {f"k{k}_construct": tm for k, tm in spades_stages.CONSTRUCT_PHASES}
+    compile_est = 0.0
+    for _, tm in spades_stages.CONSTRUCT_PHASES:
         nb = tm.get("n_batches", 0)
         if nb > 1:
             warm = (tm["device_s"] - tm["device_first_s"]) / (nb - 1)
             compile_est += max(tm["device_first_s"] - warm, 0.0)
         elif nb == 1:
             compile_est += tm["device_first_s"]
-        t0 = time.perf_counter()
-        info = fit_coverage_model(res.p1_counts.counts)
-        stage_s[f"k{k}_covmodel"] = round(time.perf_counter() - t0, 1)
-        t0 = time.perf_counter()
-        g, _ = simplify(res.graph, info, SimplifyConfig(read_length=rl))
-        stage_s[f"k{k}_simplify"] = round(time.perf_counter() - t0, 1)
-        t0 = time.perf_counter()
-        contigs = extract_contigs(g)
-        prev = [c.seq for c in contigs]
-        stage_s[f"k{k}_output"] = round(time.perf_counter() - t0, 1)
-    wall = time.perf_counter() - t_all
-    lens = sorted((len(c.seq) for c in contigs), reverse=True)
-    acc, n50 = 0, 0
-    for L in lens:
-        acc += L
-        if acc * 2 >= sum(lens):
-            n50 = L
-            break
-    return {
+
+    contigs = [c.seq for c in res.contigs]
+    scaffolds = [c.seq for c in (res.scaffolds or res.contigs)]
+    lens = sorted((len(s) for s in contigs), reverse=True)
+    slens = sorted((len(s) for s in scaffolds), reverse=True)
+    gfrac = _genome_fraction(contigs, genome)
+
+    out = {
         "e2e": {
             "genome_mb": G / 1e6,
             "coverage": cov,
             "error_rate": err,
+            "paired": True,
+            "planted_repeats": "3x500bp x30 + 2kb x10",
             "wall_s": round(wall, 1),
             "reads_per_s": round(n_reads / wall, 0),
-            "kmers_per_s": round(3 * n_reads * (rl - 21) / wall, 0),
             "n_contigs": len(lens),
-            "n50": n50,
+            "n50": _n50(lens),
+            "scaffold_n50": _n50(slens),
             "largest": lens[0] if lens else 0,
             "total_len": sum(lens),
+            "genome_fraction": round(gfrac, 4),
             "compile_s_est": round(compile_est, 1),
             "wall_minus_compile_s": round(wall - compile_est, 1),
             "stages": stage_s,
             "construct_phases": phase_s,
         }
     }
+    bm = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(bm):
+        with open(bm) as fh:
+            out["e2e"]["ref_measured"] = json.load(fh)
+        ref_wall = out["e2e"]["ref_measured"].get("e2e_10mb", {}).get("wall_s")
+        if ref_wall:
+            out["e2e"]["vs_ref_wall"] = round(ref_wall / wall, 2)
+    return out
 
 
 if __name__ == "__main__":

@@ -169,15 +169,30 @@ def count_kmers_sharded(batch, k: int, mesh: Mesh | None = None, safety: float =
     lengths = np.pad(lengths, (0, pad))
     per_dev = packed_codes.shape[0] // n_dev * P_win
     cap = int(np.ceil(per_dev * safety / n_dev)) + 16
-    fn = make_sharded_counter(mesh, k, L, cap, axis)
-    uwords, ucounts, n_unique, overflow = fn(
-        jnp.asarray(packed_codes), jnp.asarray(packed_nmask), jnp.asarray(lengths)
-    )
-    if int(overflow) > 0:
-        raise RuntimeError(
-            f"shard routing overflow ({int(overflow)} k-mers dropped); "
-            f"increase safety factor"
+    # adversarial hash skew can overflow any fixed cap: retry with a doubled
+    # cap instead of failing (the reference rebalances skewed work the same
+    # way through partask's weighted splitter, partask_mpi.hpp:1296-1374);
+    # cap can never usefully exceed the per-device window count
+    max_cap = per_dev + 16
+    while True:
+        fn = make_sharded_counter(mesh, k, L, cap, axis)
+        uwords, ucounts, n_unique, overflow = fn(
+            jnp.asarray(packed_codes), jnp.asarray(packed_nmask), jnp.asarray(lengths)
         )
+        if int(overflow) == 0:
+            break
+        if cap >= max_cap:
+            raise RuntimeError(
+                f"shard routing overflow ({int(overflow)} k-mers dropped) "
+                f"at full cap {cap} — routing bug"
+            )
+        import logging
+
+        logging.getLogger("spades_tpu.sharded").info(
+            "shard routing overflow (%d dropped at cap %d) — retrying with cap %d",
+            int(overflow), cap, min(cap * 2, max_cap),
+        )
+        cap = min(cap * 2, max_cap)
     # pull only each shard's unique prefix (device-side slice -> small pull)
     n_unique = np.asarray(n_unique)
     shard_rows = uwords.shape[0] // n_dev

@@ -77,6 +77,7 @@ def construct_graph(
     early_tc_length_bound: int | None = None,
     early_at_clip: bool = False,
     read_length: int | None = None,
+    extra_sequences=None,
 ) -> ConstructionResult:
     """Build the condensed de Bruijn graph at odd k from a sequence iterable.
 
@@ -102,6 +103,21 @@ def construct_graph(
         keep = p1.counts >= min_count
         p1 = _count.KmerCounts(k=p1.k, words=p1.words[keep], counts=p1.counts[keep])
         tm["filter_s"] = round(time.perf_counter() - t0, 2)
+    if extra_sequences:
+        # prev-K / trusted contigs contribute GRAPH STRUCTURE but not
+        # coverage — the reference keeps them in separate streams "for not
+        # counting it in coverage" (stages/construction.cpp:110,233): the
+        # counting phase merges read+contig streams, the coverage fill uses
+        # read streams only.  Structure rows absent from the read counts
+        # carry coverage 0.
+        t0 = time.perf_counter()
+        p_extra = _count.count_sequences(extra_sequences, k + 1, batch_size=batch_size)
+        structure = _count.merge_counts([p1, p_extra])
+        cov = np.zeros(structure.num_unique, np.int64)
+        rows = _count.searchsorted_rows(structure.words, p1.words)
+        cov[rows] = p1.counts
+        p1 = _count.KmerCounts(k=p1.k, words=structure.words, counts=cov)
+        tm["extra_count_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     index = _ext.build_extension_index(p1)
     tm["ext_build_s"] = round(time.perf_counter() - t0, 2)

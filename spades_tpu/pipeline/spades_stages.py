@@ -20,6 +20,10 @@ from .stages import AssemblyContext, AssemblyStage
 log = logging.getLogger("spades_tpu.stages")
 
 
+# (k, construct_graph timings dict) trail for bench.py's phase breakdown
+CONSTRUCT_PHASES: list[tuple[int, dict]] = []
+
+
 class Construction(AssemblyStage):
     """reads -> (k+1)-mer counts -> extension index -> condensed graph.
 
@@ -40,7 +44,7 @@ class Construction(AssemblyStage):
 
     def run(self, ctx: AssemblyContext) -> None:
         seqs = [r for r in ctx.reads if len(r) > ctx.k]
-        seqs += [s for s in ctx.extra_sequences if len(s) > ctx.k]
+        extras = [s for s in ctx.extra_sequences if len(s) > ctx.k]
         res = construct_graph(
             seqs,
             ctx.k,
@@ -48,12 +52,16 @@ class Construction(AssemblyStage):
             early_tip_clip=self.early_tip_clip,
             early_at_clip=self.early_at_clip,
             read_length=ctx.read_length,
+            extra_sequences=extras,
         )
         ctx.graph = res.graph
         ctx.p1_counts = res.p1_counts
+        ctx.construct_timings = res.timings
+        CONSTRUCT_PHASES.append((ctx.k, dict(res.timings)))
         log.info(
-            "k=%d: %d unique (k+1)-mers, %d edges in raw graph",
+            "k=%d: %d unique (k+1)-mers, %d edges in raw graph (phases: %s)",
             ctx.k, res.p1_counts.num_unique, len(res.graph.canonical_edge_ids()),
+            res.timings,
         )
 
 

@@ -24,6 +24,11 @@ import numpy as np
 
 log = logging.getLogger("spades_tpu.stages")
 
+# Per-stage wall-time trail (k, stage_id, seconds), appended by
+# StageManager.run — the TIME_TRACE_SCOPE ledger consumed by bench.py's
+# e2e stage breakdown.  Callers may clear it between runs.
+STAGE_TIMES: list[tuple[int, str, float]] = []
+
 
 class SavesPolicy(str, Enum):
     NONE = "none"
@@ -229,7 +234,9 @@ class StageManager:
             log.info("== STAGE %s (%s) ==", stage.name, stage.id)
             with trace_scope(stage.name, stage.id):
                 stage.run(ctx)
-            log.info("== done %s (%.2fs)", stage.name, time.time() - t0)
+            dt = time.time() - t0
+            STAGE_TIMES.append((ctx.k, stage.id, round(dt, 2)))
+            log.info("== done %s (%.2fs)", stage.name, dt)
             if self.saves_policy != SavesPolicy.NONE:
                 is_last = i == len(self.stages) - 1
                 if self.saves_policy == SavesPolicy.ALL or is_last:
