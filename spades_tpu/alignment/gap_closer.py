@@ -90,14 +90,61 @@ def _join_with_correction(
     return None
 
 
+def _collect_votes(
+    g: CondensedGraph,
+    ea_arr: np.ndarray, sa_arr: np.ndarray,
+    eb_arr: np.ndarray, sb_arr: np.ndarray,
+    dead_end: set, dead_start: set, cfg: "GapCloserConfig",
+) -> dict[tuple[int, int], int]:
+    """Vectorized junction-vote collection from mapped mate arrays
+    (edge == -1 means unmapped)."""
+    votes: dict[tuple[int, int], int] = {}
+    ok = (ea_arr >= 0) & (eb_arr >= 0)
+    ok &= (ea_arr != eb_arr) & (eb_arr != g.e_conj[np.maximum(ea_arr, 0)])
+    de_mask = np.zeros(len(g.e_len), bool)
+    ds_mask = np.zeros(len(g.e_len), bool)
+    if dead_end:
+        de_mask[np.fromiter(dead_end, np.int64)] = True
+    if dead_start:
+        ds_mask[np.fromiter(dead_start, np.int64)] = True
+    ea_c = np.maximum(ea_arr, 0)
+    eb_c = np.maximum(eb_arr, 0)
+    # direct: left mate near its edge's dead END, right near a dead START
+    direct = ok & de_mask[ea_c] & ds_mask[eb_c]
+    direct &= (g.e_len[ea_c] - sa_arr) <= cfg.max_tip_scan
+    direct &= sb_arr <= cfg.max_tip_scan
+    # conjugate pairing: conj(b) .. conj(a) on the other strand
+    eac = g.e_conj[ea_c]
+    ebc = g.e_conj[eb_c]
+    conj = ok & de_mask[ebc] & ds_mask[eac]
+    conj &= (g.e_len[ebc] - (g.e_len[eb_c] - sb_arr - 1)) <= cfg.max_tip_scan
+    for m, k1, k2 in ((direct, ea_c, eb_c), (conj, ebc, eac)):
+        idx = np.flatnonzero(m)
+        if idx.size == 0:
+            continue
+        key = k1[idx].astype(np.int64) * np.int64(len(g.e_len)) + k2[idx]
+        uniq, cnt = np.unique(key, return_counts=True)
+        for u, c in zip(uniq, cnt):
+            pair = (int(u) // len(g.e_len), int(u) % len(g.e_len))
+            votes[pair] = votes.get(pair, 0) + int(c)
+    return votes
+
+
 def close_gaps(
     g: CondensedGraph,
     paired: list[tuple[list[str], list[str]]],
     index: EdgeIndex | None = None,
+    mesh=None,
 ) -> int:
     """Close tip-to-tip gaps supported by read pairs.  Returns #gaps closed.
 
-    Mutates the graph in place (splices edges, kills the originals)."""
+    Mutates the graph in place (splices edges, kills the originals).
+
+    mesh: optional jax.sharding.Mesh — the hot mapping phase runs through
+    the sharded mapper (`parallel/sharded_mapping.py`), the GapCloserMPI
+    analog (`mpi/stages/gap_closer_mpi.hpp` splits read streams across
+    ranks the same way); vote collection and the final overlap splices stay
+    on the host exactly as the reference's are serial under a lock."""
     cfg = GapCloserConfig()
     if g.num_edges < 2 or not paired:
         return 0
@@ -111,26 +158,27 @@ def close_gaps(
 
     votes: dict[tuple[int, int], int] = {}
     for r1s, r2s, _lib_type in iter_fr_libs(paired):
-        m1 = map_read_batch(index, g, r1s)
-        # FR orientation: the right mate spells the reverse strand
-        m2 = map_read_batch(index, g, [dna.revcomp_str(s) for s in r2s])
-        for a, b in zip(m1, m2):
-            if a is None or b is None:
-                continue
-            ea, eb = a.edge, b.edge
-            if ea == eb or eb == g.e_conj[ea]:
-                continue
-            # left mate near its edge's dead END, right mate near a dead START
-            if ea in dead_end and eb in dead_start:
-                tail_gap = g.e_len[ea] - a.start_offset
-                if tail_gap <= cfg.max_tip_scan and b.start_offset <= cfg.max_tip_scan:
-                    votes[(ea, eb)] = votes.get((ea, eb), 0) + 1
-            # symmetric conjugate pairing: b..a on the other strand
-            eac, ebc = int(g.e_conj[ea]), int(g.e_conj[eb])
-            if ebc in dead_end and eac in dead_start:
-                tail_gap = g.e_len[ebc] - (g.e_len[eb] - b.start_offset - 1)
-                if tail_gap <= cfg.max_tip_scan:
-                    votes[(ebc, eac)] = votes.get((ebc, eac), 0) + 1
+        r2rc = [dna.revcomp_str(s) for s in r2s]
+        if mesh is not None:
+            from ..core.reads import ReadBatch
+            from ..parallel.sharded_mapping import map_reads_sharded
+
+            e1a, s1a, _ = map_reads_sharded(index, g, ReadBatch.from_sequences(r1s), mesh)
+            e2a, s2a, _ = map_reads_sharded(index, g, ReadBatch.from_sequences(r2rc), mesh)
+            e1a, s1a = np.asarray(e1a[: len(r1s)]), np.asarray(s1a[: len(r1s)])
+            e2a, s2a = np.asarray(e2a[: len(r2rc)]), np.asarray(s2a[: len(r2rc)])
+        else:
+            m1 = map_read_batch(index, g, r1s)
+            # FR orientation: the right mate spells the reverse strand
+            m2 = map_read_batch(index, g, r2rc)
+            e1a = np.array([m.edge if m else -1 for m in m1], np.int64)
+            s1a = np.array([m.start_offset if m else 0 for m in m1], np.int64)
+            e2a = np.array([m.edge if m else -1 for m in m2], np.int64)
+            s2a = np.array([m.start_offset if m else 0 for m in m2], np.int64)
+        for pair, c in _collect_votes(
+            g, e1a, s1a, e2a, s2a, dead_end, dead_start, cfg
+        ).items():
+            votes[pair] = votes.get(pair, 0) + c
 
     closed = 0
     used: set[int] = set()
