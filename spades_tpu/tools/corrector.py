@@ -27,8 +27,6 @@ def main(argv=None) -> int:
     check_odd_k(args.kmer)
     check_inputs_exist([args.contigs] + args.reads)
 
-    from ..alignment.mismatch import correct_mismatches
-    from ..graph.graph import CondensedGraph
     from ..io.fastx import read_fastx, read_sequences, write_fasta
 
     recs = list(read_fastx(args.contigs))
@@ -43,12 +41,18 @@ def main(argv=None) -> int:
 
     if not args.reads:
         sys.exit("error: provide read files or --sam alignments")
-    g = CondensedGraph.from_sequences([r.seq for r in recs], args.kmer)
+    from ..polish import CorrectorConfig, polish_contigs
+
     reads = list(read_sequences(args.reads))
-    fixed = correct_mismatches(g, reads)
-    ids = sorted(int(e) for e in g.canonical_edge_ids())
-    write_fasta(out, [(recs[i].name, g.edge_seq(e)) for i, e in enumerate(ids)])
-    print(f"fixed {fixed} positions in {len(recs)} contigs -> {out}")
+    corrected, stats = polish_contigs(
+        [r.seq for r in recs], reads, CorrectorConfig(k=args.kmer)
+    )
+    write_fasta(out, [(rec.name, seq) for rec, seq in zip(recs, corrected)])
+    fixed = stats["fixed_simple"] + stats["fixed_interesting"]
+    print(
+        f"fixed {fixed} positions ({stats['fixed_interesting']} via "
+        f"interesting-position sweeps) in {len(recs)} contigs -> {out}"
+    )
     return 0
 
 
