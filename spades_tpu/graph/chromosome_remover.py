@@ -77,7 +77,10 @@ def remove_chromosomal(g: CondensedGraph, cfg: PlasmidConfig | None = None) -> i
     cfg = cfg or PlasmidConfig()
     removed = 0
 
-    # phase 1: RemoveLongGenomicEdges — long edges in the chromosomal band
+    # phase 1: RemoveLongGenomicEdges — long edges in the chromosomal band.
+    # A long edge inside a SMALL (< 300 kb) connected component with zero
+    # dead ends is spared: that is a circular plasmid-shaped component, the
+    # very thing being extracted (chromosome_remover.cpp:147-149).
     for _ in range(10):
         med = weighted_median_coverage(g, cfg.long_edge_length)
         if med <= 0:
@@ -90,6 +93,26 @@ def remove_chromosomal(g: CondensedGraph, cfg: PlasmidConfig | None = None) -> i
             & (cov >= med * (1 - cfg.relative_coverage))
             & (cov <= med * (1 + cfg.relative_coverage))
         )
+        if band.any():
+            in_deg = g.in_degrees()
+            out_deg = g.out_degrees()
+            spare = np.zeros(len(ids), bool)
+            edge_pos = {int(e): i for i, e in enumerate(ids)}
+            for _root, edges in _components(g).items():
+                verts = set()
+                total = 0
+                for e in edges:
+                    verts.add(int(g.e_start[e]))
+                    verts.add(int(g.e_end[e]))
+                    total += int(g.e_len[e])
+                dead = sum(
+                    1 for v in verts if in_deg[v] == 0 or out_deg[v] == 0
+                )
+                if total < 300_000 and dead == 0:
+                    for e in edges:
+                        if e in edge_pos:
+                            spare[edge_pos[e]] = True
+            band &= ~spare
         victims = ids[band]
         if victims.size == 0:
             break

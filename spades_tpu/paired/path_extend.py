@@ -476,10 +476,31 @@ def _extend_step(
     if not cands:
         return False
     # LoopDetectingPathExtender: entering the canonical short loop is handled
-    # by the resolver (coverage-estimated unroll), not the chooser
+    # by the resolver (coverage-estimated unroll), not the chooser — and it
+    # must run BEFORE the transition guard below, which would otherwise cap
+    # legitimate multi-lap unrolls of short tandem loops at one lap
     if len(path.edges) >= 2 and get_loop_and_exit(g, int(last)) is not None:
         if resolve_short_loop(g, path, cfg):
             return True
+    # cycle guard (LoopDetector role, path_extender.hpp): re-walking an
+    # ordered transition the path already contains means we are lapping a
+    # non-canonical cycle with no new information — a circular plasmid
+    # would otherwise be unrolled max_edge_repeat times.  Distinct entries
+    # into a repeat edge (A->R vs B->R) remain allowed, and transitions that
+    # belong to a canonical short loop are exempt: the loop resolver owns
+    # those (it may need to re-enter the loop to then UndoCycles and unroll
+    # by the coverage estimate).
+    seen_trans = set(zip(path.edges, path.edges[1:]))
+    if any((last, e) in seen_trans for e in cands):
+        in_canonical_loop = get_loop_and_exit(g, int(last)) is not None
+        cands = [
+            e for e in cands
+            if (last, e) not in seen_trans
+            or in_canonical_loop
+            or get_loop_and_exit(g, int(e)) is not None
+        ]
+    if not cands:
+        return False
     if len(cands) == 1:
         path.edges.append(cands[0])
         path.gaps.append(0)
@@ -540,6 +561,7 @@ def resolve_repeats(
             used.add(int(e))
             used.add(int(g.e_conj[e]))
         paths.append(path)
+    trim_cyclic_periods(g, paths)
     return remove_contained(g, paths)
 
 
@@ -642,6 +664,29 @@ def traverse_loops(
         paths.remove(p2)
         joins += 1
     return joins
+
+
+def trim_cyclic_periods(g: CondensedGraph, paths: list[Path]) -> int:
+    """Collapse lapped cycles to ONE period (the reference emits a circular
+    component's sequence exactly once — plasmid `--test` asserts 9689 bp,
+    not a tandem unroll; cycle handling in `path_extender.hpp` loop
+    machinery + contig output).  A path whose edge sequence is a repetition
+    (possibly with a partial trailing lap) of a closed p-edge cycle is cut
+    to its first p edges.  Returns the number of trimmed paths."""
+    trimmed = 0
+    for p in paths:
+        n = len(p.edges)
+        if n < 2 or any(gp > 0 for gp in p.gaps):
+            continue
+        for per in range(1, n):
+            if all(p.edges[i] == p.edges[i % per] for i in range(n)):
+                # prefix must itself be a closed cycle
+                if int(g.e_end[p.edges[per - 1]]) == int(g.e_start[p.edges[0]]):
+                    del p.edges[per:]
+                    del p.gaps[per:]
+                    trimmed += 1
+                break
+    return trimmed
 
 
 def remove_contained(g: CondensedGraph, paths: list[Path]) -> list[Path]:

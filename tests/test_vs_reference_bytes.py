@@ -152,3 +152,42 @@ class TestWithEcBytes:
         ref = _fasta(os.path.join(GOLD_EC, "contigs.fasta"))
         ours = _fasta(os.path.join(ours_ec, "contigs.fasta"))
         assert [h for h, _ in ours] == [h for h, _ in ref]
+
+
+class TestPlasmidOracle:
+    """Plasmid --test oracle (check_test_script.py:58-76: 1 contig x 9689 bp
+    in plasmid mode).  Our circular-contig convention spells the cycle plus
+    a k-wrap (9612 cycle k-mers + 55 = 9667 nt); the reference's emitted
+    contig carries a 77 nt duplicated wrap (9689 nt) — same cycle, same
+    55-mer content (divergence D4 in PARITY.md).  The assertion is therefore
+    one contig, identical canonical 55-mer set, length in [9667, 9689]."""
+
+    PL1 = "/root/reference/src/projects/spades/test_dataset_plasmid/pl1.fq.gz"
+    PL2 = "/root/reference/src/projects/spades/test_dataset_plasmid/pl2.fq.gz"
+
+    def test_plasmid_single_contig(self, tmp_path):
+        if not os.path.exists(self.PL1):
+            pytest.skip("plasmid test dataset not available")
+        out = str(tmp_path / "plasmid_out")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run(
+            [sys.executable, "-m", "spades_tpu.pipeline.main", "--plasmid",
+             "-1", self.PL1, "-2", self.PL2, "-o", out],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(HERE),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        for f in ("contigs.fasta", "scaffolds.fasta"):
+            recs = _fasta(os.path.join(out, f))
+            assert len(recs) == 1, [h for h, _ in recs]
+            seq = recs[0][1]
+            assert 9667 <= len(seq) <= 9689, len(seq)
+        # 55-mer content identical to the reference's 9689-bp golden contig
+        gold = os.path.join(GOLD_EC, "..", "ref_plasmid", "contigs.fasta")
+        if os.path.exists(gold):
+            from spades_tpu.ops.count import count_sequences, searchsorted_rows
+
+            ref_seq = _fasta(gold)[0][1]
+            a = count_sequences([seq], 55)
+            b = count_sequences([ref_seq], 55)
+            assert a.num_unique == b.num_unique
+            assert (searchsorted_rows(b.words, a.words) >= 0).all()
