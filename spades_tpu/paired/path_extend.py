@@ -766,6 +766,7 @@ def polish_paths(g: CondensedGraph, paths: list[Path], cfg: PEConfig) -> list[Pa
     re-estimate the gap as the shortest connection length (FillWithBridge's
     length fix) and keep the N stretch."""
     result: list[Path] = []
+    exhausted = 0
     for p in paths:
         edges: list[int] = [p.edges[0]]
         gaps: list[int] = [p.gaps[0]]
@@ -780,7 +781,15 @@ def polish_paths(g: CondensedGraph, paths: list[Path], cfg: PEConfig) -> list[Pa
                 g, int(g.e_end[prev]), int(g.e_start[cur]),
                 max_len=max(cfg.max_polisher_gap, gap + int(3 * cfg.is_var)),
             )
-            if found is None or len(found) == 0:
+            if found is None:
+                # search budget exhausted on a dense tangle — a distinct
+                # signal from "no connecting path" (the reference's
+                # PathProcessor returns a nonzero status here); the gap is
+                # kept but the give-up is surfaced
+                exhausted += 1
+                edges.append(cur)
+                gaps.append(gap)
+            elif len(found) == 0:
                 edges.append(cur)
                 gaps.append(gap)
             elif len(found) == 1:
@@ -794,6 +803,11 @@ def polish_paths(g: CondensedGraph, paths: list[Path], cfg: PEConfig) -> list[Pa
                 edges.append(cur)
                 gaps.append(max(shortest, cfg.min_gap))
         result.append(Path(edges, gaps))
+    if exhausted:
+        log.warning(
+            "path polisher: %d gap searches exhausted their budget "
+            "(dense tangles) — N gaps kept", exhausted,
+        )
     return result
 
 
