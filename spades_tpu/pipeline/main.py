@@ -145,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
     adv.add_argument("--process-id", type=int, default=None,
                      help="multi-host run: this process's rank")
     adv.add_argument("--tmp-dir", default=None, help="directory for temporary files")
+    adv.add_argument("--config-file", default=None,
+                     help="user config overlay (YAML or section.key value lines) "
+                          "applied over the mode defaults — the .info overlay "
+                          "surface of the reference (config_struct.cpp)")
     adv.add_argument("--disable-rr", action="store_true",
                      help="skip repeat resolution: output simplified graph edges as contigs")
     adv.add_argument("--stop-after", default=None, metavar="CP",
@@ -473,6 +477,13 @@ def main(argv=None) -> int:
         log.info("======= config generated (run_spades.yaml/run_spades.sh); exiting")
         return 0
 
+    overlay = None
+    if getattr(args, "config_file", None):
+        from .config_overlay import load_overlay
+
+        overlay = load_overlay(args.config_file)
+        log.info("loaded config overlay from %s (%d sections)",
+                 args.config_file, len(overlay))
     restart = "last" if args.cont else args.restart_from
     if args.save_gp:
         args.checkpoints = "all"
@@ -497,6 +508,7 @@ def main(argv=None) -> int:
         mismatch_correction=(args.careful or args.mismatch_correction)
         if args.stop_after != "as" else False,
         gfa_version="1.1" if args.gfa11 else "1.2",
+        config_overlay=overlay,
     )
 
     # --- --test oracle (check_test_script.py:58-76) ---------------------

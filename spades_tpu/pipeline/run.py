@@ -88,6 +88,7 @@ def run_assembly(
     disable_rr: bool = False,
     mismatch_correction: bool | None = None,
     gfa_version: str = "1.2",
+    config_overlay: dict | None = None,
 ) -> RunResult:
     # --disable-rr / --mismatch-correction / --gfa11 CLI contract
     # (options_parser.py: disable_rr skips repeat resolution entirely;
@@ -121,6 +122,7 @@ def run_assembly(
             mode=mode,
         )
         ctx.hmm_profiles = hmm_profiles or []
+        ctx.config_overlay = config_overlay
         mgr = StageManager(SavesPolicy(checkpoints))
         if assembly_graph and ki == len(k_list) - 1:
             # start from a GFA graph (load_graph.cpp / --assembly-graph)
@@ -132,19 +134,26 @@ def run_assembly(
             # on non-final iterations with k < 55 (construction.cpp:448-449,
             # spades_iteration_stage.py:70 gap_closer_enable = last or k>=55);
             # the A/T clipper runs for RNA pipelines (construction.cpp:446)
+            from .config_overlay import apply_overlay, construction_kwargs
+
+            ckw = {
+                "min_count": min_count,
+                "early_tip_clip": not (is_last or k >= 55),
+                "early_at_clip": mode in ("rna", "rnaviral"),
+            }
+            ckw.update(construction_kwargs(config_overlay))
             mgr.add(
-                Construction(
-                    min_count=min_count,
-                    early_tip_clip=not (is_last or k >= 55),
-                    early_at_clip=(mode in ("rna", "rnaviral")),
-                ),
+                Construction(**ckw),
                 GenomicInfoFiller(),
                 # AddSimplificationStages order (pipeline.cpp:154-176):
                 # RawSimplification -> early gapcloser -> Simplification ->
                 # late gapcloser
                 RawSimplification(),
                 GapClosing("early"),
-                Simplification(mode_simplify_config(mode, read_length)),
+                Simplification(apply_overlay(
+                    mode_simplify_config(mode, read_length),
+                    config_overlay, "simplification",
+                )),
                 GapClosing("late"),
             )
         if is_last and series_analysis:

@@ -650,6 +650,9 @@ class RepeatResolution(AssemblyStage):
             is_var=max(is_stats.mad, 10.0),
             read_length=ctx.read_length,
         )
+        from .config_overlay import apply_overlay
+
+        apply_overlay(cfg, getattr(ctx, "config_overlay", None), "path_extend")
         # per-library composite extender chain in the reference's order
         # (extenders_logic.cpp:469-548); clustered per-lib indices come from
         # DistanceEstimation's raw_pair_libs pass
