@@ -237,7 +237,7 @@ def make_e2e_dataset(G: int, cov: int, rl: int, err: float, seed: int = 42,
     r1 = genome[starts[:, None] + np.arange(rl)]
     # FR: read2 is the reverse complement of the insert's right end
     r2f = genome[(starts + isize - rl)[:, None] + np.arange(rl)]
-    r2 = (3 - r2f)[:, ::-1]
+    r2 = np.ascontiguousarray((3 - r2f)[:, ::-1])
     for r in (r1, r2):
         em = rng.random(r.shape) < err
         r[em] = (r[em] + rng.integers(1, 4, int(em.sum()))) & 3

@@ -158,7 +158,11 @@ def close_gaps(
 
     votes: dict[tuple[int, int], int] = {}
     for r1s, r2s, _lib_type in iter_fr_libs(paired):
-        r2rc = [dna.revcomp_str(s) for s in r2s]
+        r2rc = [
+            dna.revcomp_str(s) if isinstance(s, str)
+            else dna.revcomp_codes(dna.encode(s))
+            for s in r2s
+        ]
         if mesh is not None:
             from ..core.reads import ReadBatch
             from ..parallel.sharded_mapping import map_reads_sharded

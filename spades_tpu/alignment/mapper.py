@@ -84,6 +84,31 @@ class ReadMapping:
     n_hits: int
 
 
+def _map_read_batch_device(
+    index: EdgeIndex, g: CondensedGraph, seqs
+) -> list["ReadMapping | None"]:
+    """Device-mapped batch (chunked, stable pow2 shapes)."""
+    from ..core.reads import ReadBatch
+    from ..parallel.sharded_count import make_mesh
+    from ..parallel.sharded_mapping import map_reads_sharded
+
+    mesh = make_mesh()
+    out: list[ReadMapping | None] = [None] * len(seqs)
+    chunk = 262144
+    for c0 in range(0, len(seqs), chunk):
+        part = seqs[c0 : c0 + chunk]
+        batch = ReadBatch.from_sequences(part, pad_reads_to=chunk)
+        edge, start, votes = map_reads_sharded(index, g, batch, mesh)
+        edge = np.asarray(edge[: len(part)])
+        start = np.asarray(start[: len(part)])
+        votes = np.asarray(votes[: len(part)])
+        for j in np.flatnonzero(edge >= 0):
+            out[c0 + int(j)] = ReadMapping(
+                c0 + int(j), int(edge[j]), int(start[j]), int(votes[j])
+            )
+    return out
+
+
 def map_read_batch(
     index: EdgeIndex, g: CondensedGraph, seqs: list[str], kmer_mapper=None
 ) -> list[ReadMapping | None]:
@@ -101,10 +126,35 @@ def map_read_batch(
     if not by_len:
         return [None] * len(seqs)
 
+    # Large batches run the whole extract/canonicalize/binary-search pipeline
+    # ON DEVICE (`parallel/sharded_mapping.py`, a 1+-device mesh) — the host
+    # path costs ~0.3 ms/read in numpy window extraction alone, which at
+    # millions of reads is minutes per mapping pass (the reference fans the
+    # same work across OpenMP threads, sequence_mapper_notifier.hpp:78-121).
+    # The kmer-mapper projection path stays on host (device mapper has no
+    # substitution step).
+    if kmer_mapper is None:
+        import os
+
+        thresh = int(os.environ.get("SPADES_DEVICE_MAP_READS", 200_000))
+        if len(seqs) >= thresh:
+            try:
+                return _map_read_batch_device(index, g, seqs)
+            except Exception as exc:  # noqa: BLE001 — fall back to host
+                import logging
+
+                logging.getLogger("spades_tpu.mapper").warning(
+                    "device mapper failed (%s) — falling back to host", exc
+                )
+
     packed_list, valid_list, rid_list, j_list = [], [], [], []
     for L, idxs in by_len.items():
-        joined = "".join(seqs[i] for i in idxs)
-        codes = dna.encode(joined).reshape(len(idxs), L)
+        first = seqs[idxs[0]]
+        if isinstance(first, str):
+            joined = "".join(seqs[i] for i in idxs)
+            codes = dna.encode(joined).reshape(len(idxs), L)
+        else:  # pre-encoded uint8 code arrays (pipeline wire format)
+            codes = np.stack([dna.encode(seqs[i]) for i in idxs])
         ok = codes < 4
         wins = np.lib.stride_tricks.sliding_window_view(codes, k, axis=1)
         valid = np.lib.stride_tricks.sliding_window_view(ok, k, axis=1).all(axis=2)

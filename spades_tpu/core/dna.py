@@ -20,8 +20,15 @@ for _i, _ch in enumerate("ACGT"):
 _DEC_LUT = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
 
-def encode(seq: str | bytes) -> np.ndarray:
-    """ASCII sequence -> uint8 codes (NCODE for non-ACGT)."""
+def encode(seq: str | bytes | np.ndarray) -> np.ndarray:
+    """ASCII sequence -> uint8 codes (NCODE for non-ACGT).
+
+    Already-encoded uint8 code arrays pass through (contiguous copy only if
+    needed) so every sequence consumer accepts both representations."""
+    if isinstance(seq, np.ndarray):
+        if seq.dtype == np.uint8 and (seq.size == 0 or seq.max() <= NCODE):
+            return np.ascontiguousarray(seq)
+        return _ENC_LUT[np.ascontiguousarray(seq).view(np.uint8)].copy()
     if isinstance(seq, str):
         seq = seq.encode()
     return _ENC_LUT[np.frombuffer(seq, dtype=np.uint8)].copy()
