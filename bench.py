@@ -335,6 +335,12 @@ def bench_e2e() -> dict:
     rights = list(r2)
     n_reads = len(lefts) + len(rights)
 
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, stream=__import__("sys").stderr,
+        format="%(asctime)s %(name)s: %(message)s",
+    )
     STAGE_TIMES.clear()
     spades_stages.CONSTRUCT_PHASES.clear()
     outdir = tempfile.mkdtemp(prefix="bench_e2e_")

@@ -38,13 +38,13 @@ def _dead_end_edges(g: CondensedGraph):
     """Edges whose end vertex has no outgoing edges (forward dead ends)."""
     out_deg = g.out_degrees()
     ids = g.alive_edge_ids()
-    return set(int(e) for e in ids if out_deg[g.e_end[e]] == 0)
+    return set(ids[out_deg[g.e_end[ids]] == 0].tolist())
 
 
 def _dead_start_edges(g: CondensedGraph):
     in_deg = g.in_degrees()
     ids = g.alive_edge_ids()
-    return set(int(e) for e in ids if in_deg[g.e_start[e]] == 0)
+    return set(ids[in_deg[g.e_start[ids]] == 0].tolist())
 
 
 def _join_with_correction(

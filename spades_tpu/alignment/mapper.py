@@ -39,22 +39,37 @@ class EdgeIndex:
 def build_edge_index(g: CondensedGraph, k: int | None = None) -> EdgeIndex:
     """Index every k-window of every canonical edge.  k defaults to the graph
     k; the long-read aligner passes a smaller k for error-tolerant anchoring
-    (the reference's pac_index also uses its own pacbio_k, not the graph k)."""
+    (the reference's pac_index also uses its own pacbio_k, not the graph k).
+
+    One vectorized pass over the flat sequence pool (windows of ALL edges
+    gathered at once, chunked to bound memory) — a per-edge Python loop
+    costs tens of seconds on 100k-edge graphs and this index is rebuilt at
+    every mapping stage."""
     k = k or g.k
     ids = g.canonical_edge_ids()
     all_words, all_edge, all_off, all_strand = [], [], [], []
-    for e in ids:
-        codes = g.edge_codes(int(e))
-        n = len(codes) - k + 1
-        if n <= 0:
-            continue
-        wins = np.lib.stride_tricks.sliding_window_view(codes, k)
-        packed = K.pack(np.ascontiguousarray(wins))
-        canon, was_rc = canonicalize(packed, k)
-        all_words.append(canon)
-        all_edge.append(np.full(n, int(e), np.int64))
-        all_off.append(np.arange(n, dtype=np.int64))
-        all_strand.append(was_rc.astype(np.uint8))
+    if ids.size:
+        lens = g.e_len[ids].astype(np.int64)
+        offs = g.e_off[ids].astype(np.int64)
+        nwin = np.maximum(lens - k + 1, 0)
+        keep = nwin > 0
+        ids_k, offs_k, nwin_k = ids[keep], offs[keep], nwin[keep]
+        total = int(nwin_k.sum())
+        if total:
+            edge_col = np.repeat(ids_k.astype(np.int64), nwin_k)
+            base = np.repeat(np.cumsum(nwin_k) - nwin_k, nwin_k)
+            off_col = np.arange(total, dtype=np.int64) - base
+            pos = np.repeat(offs_k, nwin_k) + off_col
+            pool_wins = np.lib.stride_tricks.sliding_window_view(g.seq_pool, k)
+            chunk = 4_000_000
+            for c0 in range(0, total, chunk):
+                sl = slice(c0, min(c0 + chunk, total))
+                packed = K.pack(np.ascontiguousarray(pool_wins[pos[sl]]))
+                canon, was_rc = canonicalize(packed, k)
+                all_words.append(canon)
+                all_edge.append(edge_col[sl])
+                all_off.append(off_col[sl])
+                all_strand.append(np.asarray(was_rc).astype(np.uint8))
     if not all_words:
         W = K.kmer_words(k)
         return EdgeIndex(
@@ -110,7 +125,8 @@ def _map_read_batch_device(
 
 
 def map_read_batch(
-    index: EdgeIndex, g: CondensedGraph, seqs: list[str], kmer_mapper=None
+    index: EdgeIndex, g: CondensedGraph, seqs: list[str], kmer_mapper=None,
+    _force_host: bool = False,
 ) -> list[ReadMapping | None]:
     """Map reads by k-mer anchor votes.  One ReadMapping (or None) per read.
 
@@ -131,21 +147,35 @@ def map_read_batch(
     # path costs ~0.3 ms/read in numpy window extraction alone, which at
     # millions of reads is minutes per mapping pass (the reference fans the
     # same work across OpenMP threads, sequence_mapper_notifier.hpp:78-121).
-    # The kmer-mapper projection path stays on host (device mapper has no
-    # substitution step).
-    if kmer_mapper is None:
-        import os
+    # With a kmer-mapper the pass is hybrid: device first, then the host
+    # path (which applies the projection) on the unmapped residue only —
+    # projection only changes the verdict for reads whose anchors were all
+    # glued away, a small minority.
+    import os
 
-        thresh = int(os.environ.get("SPADES_DEVICE_MAP_READS", 200_000))
-        if len(seqs) >= thresh:
-            try:
-                return _map_read_batch_device(index, g, seqs)
-            except Exception as exc:  # noqa: BLE001 — fall back to host
-                import logging
+    thresh = int(os.environ.get("SPADES_DEVICE_MAP_READS", 200_000))
+    if len(seqs) >= thresh and not _force_host:
+        try:
+            out = _map_read_batch_device(index, g, seqs)
+            if kmer_mapper is not None and kmer_mapper.size > 0:
+                miss = [i for i, m in enumerate(out) if m is None]
+                if miss:
+                    sub = map_read_batch(
+                        index, g, [seqs[i] for i in miss],
+                        kmer_mapper=kmer_mapper, _force_host=True,
+                    )
+                    for i, m in zip(miss, sub):
+                        if m is not None:
+                            out[i] = ReadMapping(
+                                i, m.edge, m.start_offset, m.n_hits
+                            )
+            return out
+        except Exception as exc:  # noqa: BLE001 — fall back to host
+            import logging
 
-                logging.getLogger("spades_tpu.mapper").warning(
-                    "device mapper failed (%s) — falling back to host", exc
-                )
+            logging.getLogger("spades_tpu.mapper").warning(
+                "device mapper failed (%s) — falling back to host", exc
+            )
 
     packed_list, valid_list, rid_list, j_list = [], [], [], []
     for L, idxs in by_len.items():

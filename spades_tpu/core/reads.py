@@ -86,6 +86,19 @@ class ReadBatch:
                 n_mask=np.zeros((0, L), bool),
                 n_seqs=0,
             )
+        # uniform-length fast paths: millions of fixed-length reads build as
+        # ONE stack/frombuffer instead of a per-read Python loop (this runs
+        # once per mapping/counting pass over the whole read set)
+        first = seqs[0]
+        n0 = len(first)
+        if isinstance(first, np.ndarray):
+            if all(isinstance(s, np.ndarray) and len(s) == n0 for s in seqs):
+                mat = np.stack([np.asarray(s, np.uint8) for s in seqs])
+                return cls._from_code_matrix(mat, len(seqs), pad_len_to, pad_reads_to)
+        elif isinstance(first, str):
+            if all(isinstance(s, str) and len(s) == n0 for s in seqs):
+                mat = dna.encode("".join(seqs)).reshape(len(seqs), n0)
+                return cls._from_code_matrix(mat, len(seqs), pad_len_to, pad_reads_to)
         encoded = [
             s if isinstance(s, np.ndarray) else dna.encode(s) for s in seqs
         ]
@@ -101,6 +114,21 @@ class ReadBatch:
             codes[i, :n] = np.where(nm, 0, e)
             n_mask[i, :n] = nm
         return cls(codes=codes, lengths=lengths, n_mask=n_mask, n_seqs=len(seqs))
+
+    @classmethod
+    def _from_code_matrix(cls, mat: np.ndarray, n_seqs: int,
+                          pad_len_to: int, pad_reads_to: int) -> "ReadBatch":
+        R0, L0 = mat.shape
+        L = _round_up(max(L0, 1), pad_len_to)
+        R = _round_up(R0, pad_reads_to)
+        codes = np.zeros((R, L), np.uint8)
+        n_mask = np.zeros((R, L), bool)
+        nm = mat >= dna.NCODE
+        codes[:R0, :L0] = np.where(nm, 0, mat)
+        n_mask[:R0, :L0] = nm
+        lengths = np.zeros((R,), np.int32)
+        lengths[:R0] = L0
+        return cls(codes=codes, lengths=lengths, n_mask=n_mask, n_seqs=n_seqs)
 
     def sequences(self) -> list[str]:
         out = []

@@ -75,12 +75,25 @@ def device_searchsorted_rows(haystack: jnp.ndarray, needles: jnp.ndarray) -> jnp
     return jnp.where(hit, idx, -1)
 
 
-def _map_shard_body(codes, lengths, n_mask, index_words, index_edge,
+def _map_shard_body(packed_codes, packed_nmask, lengths, index_words, index_edge,
                     index_off, index_strand, conj, e_len,
-                    k: int, axis: str):
+                    k: int, L: int, axis: str):
     """Per-device body: map my read shard against the replicated index.
 
-    Returns per-read (edge, start, votes); edge = -1 for unmapped."""
+    Reads arrive in the 2-bit packed wire format (~7x less host->device
+    traffic than raw codes+mask — the counting path's discipline) and are
+    unpacked on device.  Returns per-read (edge, start, votes); edge = -1
+    for unmapped."""
+    from ..ops.count import unpack_batch_device
+
+    codes, n_mask = unpack_batch_device(packed_codes, packed_nmask, L)
+    return _map_shard_core(codes, lengths, n_mask, index_words, index_edge,
+                           index_off, index_strand, conj, e_len, k=k, axis=axis)
+
+
+def _map_shard_core(codes, lengths, n_mask, index_words, index_edge,
+                    index_off, index_strand, conj, e_len,
+                    k: int, axis: str):
     R, L = codes.shape
     Pn = L - k + 1
     canon, valid, read_rc = K.canonical_windows_strand(codes, lengths, n_mask, k)
@@ -123,17 +136,25 @@ def _map_shard_body(codes, lengths, n_mask, index_words, index_edge,
     return edge_out.astype(jnp.int32), start_out.astype(jnp.int32), votes.astype(jnp.int32)
 
 
-def make_sharded_mapper(mesh: Mesh, k: int, axis: str = "d"):
+@functools.lru_cache(maxsize=16)
+def make_sharded_mapper(mesh: Mesh, k: int, L: int, axis: str = "d"):
     """Jitted multi-chip mapping step: read shards x replicated edge index."""
-    body = functools.partial(_map_shard_body, k=k, axis=axis)
+    body = functools.partial(_map_shard_body, k=k, L=L, axis=axis)
     shard_fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis, None),
+        in_specs=(P(axis, None), P(axis, None), P(axis),
                   P(None, None), P(None), P(None), P(None), P(None), P(None)),
         out_specs=(P(axis), P(axis), P(axis)),
     )
     return jax.jit(shard_fn)
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
 
 
 def map_reads_sharded(index, g, batch, mesh: Mesh | None = None):
@@ -141,23 +162,47 @@ def map_reads_sharded(index, g, batch, mesh: Mesh | None = None):
 
     Returns (edge (R,), start (R,), votes (R,)) numpy arrays; edge == -1
     means unmapped.  Matches `alignment.mapper.map_read_batch` decisions up
-    to vote ties."""
+    to vote ties.
+
+    The index and graph arrays are padded to pow2 rows so the jitted program
+    shape is stable across graph states — every K iteration and every
+    gap-closer invocation would otherwise force a fresh XLA compile (minutes
+    through the remote compile service).  Index padding rows are all-ones
+    k-mers, lexicographically greatest and never equal to a real canonical
+    k-mer (odd k leaves zero low bits in the last packed word)."""
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     R = batch.codes.shape[0]
     pad = (-R) % n_dev
-    codes = np.pad(batch.codes, ((0, pad), (0, 0)))
-    lengths = np.pad(batch.lengths, (0, pad))
-    n_mask = np.pad(batch.n_mask, ((0, pad), (0, 0)))
+    pc, pn, lengths_w, L = batch.packed()
+    pc = np.pad(pc, ((0, pad), (0, 0)))
+    pn = np.pad(pn, ((0, pad), (0, 0)))
+    lengths = np.pad(np.asarray(lengths_w), (0, pad))
 
-    fn = make_sharded_mapper(mesh, index.k, axis)
-    e_len = np.asarray(g.e_len, np.int32)
+    U = index.kmers.shape[0]
+    U2 = _pow2(max(U, 1))
+    kmers = np.full((U2, index.kmers.shape[1]), 0xFFFFFFFF, np.uint32)
+    kmers[:U] = index.kmers
+    iedge = np.zeros(U2, np.int32)
+    iedge[:U] = index.edge
+    ioff = np.zeros(U2, np.int32)
+    ioff[:U] = index.offset
+    istr = np.zeros(U2, np.int32)
+    istr[:U] = index.strand
+    E = len(g.e_conj)
+    E2 = _pow2(max(E, 1))
+    conj = np.zeros(E2, np.int32)
+    conj[:E] = g.e_conj
+    e_len = np.zeros(E2, np.int32)
+    e_len[:E] = g.e_len
+
+    fn = make_sharded_mapper(mesh, index.k, L, axis)
     edge, start, votes = fn(
-        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(n_mask),
-        jnp.asarray(index.kmers), jnp.asarray(index.edge, jnp.int32),
-        jnp.asarray(index.offset, jnp.int32), jnp.asarray(index.strand, jnp.int32),
-        jnp.asarray(g.e_conj, jnp.int32), jnp.asarray(e_len),
+        jnp.asarray(pc), jnp.asarray(pn), jnp.asarray(lengths),
+        jnp.asarray(kmers), jnp.asarray(iedge),
+        jnp.asarray(ioff), jnp.asarray(istr),
+        jnp.asarray(conj), jnp.asarray(e_len),
     )
     return (np.asarray(edge)[:R], np.asarray(start)[:R], np.asarray(votes)[:R])
 
@@ -184,7 +229,7 @@ def _votes_shard_body(codes, lengths, n_mask, index_words, index_edge,
     """Map my read shard, scatter per-position base votes, psum across the
     mesh — the MPI_SUM vote merge of MismatchCorrectionMPI
     (`hpcspades/mpi/stages/mismatch_correction_mpi.hpp`)."""
-    edge, start, votes_n = _map_shard_body(
+    edge, start, votes_n = _map_shard_core(
         codes, lengths, n_mask, index_words, index_edge, index_off,
         index_strand, conj, e_len, k=k, axis=axis,
     )

@@ -136,9 +136,17 @@ def run_assembly(
             # the A/T clipper runs for RNA pipelines (construction.cpp:446)
             from .config_overlay import apply_overlay, construction_kwargs
 
+            # Early tip clipping exists in the reference to shrink the input
+            # of its (memory-bound, sequential) condenser
+            # (construction.cpp:448-449); our condensation is a native
+            # radix pass at ~11 Mkmers/s, so pre-condensation clipping buys
+            # nothing while its junction-walk costs ~bound host lookups per
+            # branch — graph-level tip clipping removes the same tips
+            # (verified equivalent outputs).  Off by default; the config
+            # overlay can re-enable it.
             ckw = {
                 "min_count": min_count,
-                "early_tip_clip": not (is_last or k >= 55),
+                "early_tip_clip": False,
                 "early_at_clip": mode in ("rna", "rnaviral"),
             }
             ckw.update(construction_kwargs(config_overlay))
