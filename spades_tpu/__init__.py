@@ -30,7 +30,13 @@ def _enable_persistent_compile_cache() -> None:
     if flag:
         cache_dir = flag
     else:
-        cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        # Default to a non-repo location; honour a pre-existing repo-level
+        # cache so previously compiled executables stay warm.
+        repo_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        if os.path.isdir(repo_cache):
+            cache_dir = repo_cache
+        else:
+            cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "spades_tpu", "jax")
     try:
         import jax
 

@@ -926,7 +926,10 @@ def analyze_gap(
     max_overlap = int(cfg.basic_overlap_coeff * cfg.read_length)
     if est_gap < 0:
         max_overlap -= est_gap
-    max_overlap = min(max_overlap, g.k + min(len(s1), len(s2)) - 1)
+    # Reference caps at g_.k() + min edge *k-mer* length = min nt length
+    # (gap_analyzer.cpp:49); cap at the sequences themselves so s1[-l:] and
+    # s2[:l] always have equal shape l.
+    max_overlap = min(max_overlap, len(s1), len(s2))
     min_overlap = 1
     if est_gap < 0:
         min_overlap = max(min_overlap, int(round(0.05 * -est_gap)))

@@ -108,6 +108,31 @@ class TestAnalyzeGap:
         # estimated gap far beyond may_overlap_threshold (1.0 * is_var = 30)
         assert analyze_gap(g, eL, eR, 500, cfg) == 500
 
+    def test_unequal_length_edges_no_crash(self):
+        # regression: the Hamming scan must never try overlaps longer than the
+        # shorter edge (edges 100/400 nt, small est_gap used to raise
+        # ValueError on shape-mismatched comparison)
+        rng = np.random.default_rng(11)
+        k = 21
+        for _ in range(20):
+            left = random_dna(rng, 100)
+            right = random_dna(rng, 400)
+            g = construct_graph([left, right], k).graph
+            eL = _edge_with_seq(g, left)
+            eR = _edge_with_seq(g, right)
+            if eL is not None and eR is not None:
+                break
+        else:
+            pytest.skip("fixture collision")
+        cfg = PEConfig(insert_size=250.0, is_var=30.0, read_length=100)
+        fixed = analyze_gap(g, eL, eR, 5, cfg)
+        # no overlap exists between random sequences -> artificial gap
+        assert fixed == cfg.artificial_gap
+        # negative estimate (demanded overlap) must also not crash and any
+        # found overlap must fit inside both sequences
+        fixed2 = analyze_gap(g, eL, eR, -20, cfg)
+        assert fixed2 is None or -fixed2 <= min(len(left), len(right))
+
     def test_unfindable_big_overlap_rejects_join(self):
         rng = np.random.default_rng(10)
         k = 21
