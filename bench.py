@@ -55,6 +55,40 @@ K = 21
 R, L = 4096, 256
 ITERS = 256
 
+# Driver contract hardening (round-4 postmortem: the driver's timeout killed
+# the bench mid-e2e and the round recorded NO parsed metric): the bench keeps
+# its own deadline and guarantees the LAST line of output is always the most
+# recent core(+partial) JSON — a SIGTERM/SIGINT reprints it before exit, and
+# an internal SIGALRM aborts the e2e cleanly with whatever was measured.
+BENCH_DEADLINE_S = float(os.environ.get("SPADES_BENCH_DEADLINE_S", "2700"))
+_T0 = time.monotonic()
+_LAST_JSON: dict = {}
+
+
+def _remaining() -> float:
+    return BENCH_DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _emit(obj: dict) -> None:
+    global _LAST_JSON
+    _LAST_JSON = obj
+    print(json.dumps(obj), flush=True)
+
+
+def _install_signal_reprint() -> None:
+    import signal
+
+    def handler(signum, frame):
+        if _LAST_JSON:
+            print(json.dumps(_LAST_JSON), flush=True)
+        raise SystemExit(0)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, handler)
+        except (ValueError, OSError):
+            pass
+
 
 def main() -> None:
     import jax
@@ -123,14 +157,33 @@ def main() -> None:
     # print the core line FIRST so a stall in the (compile-heavy) e2e pass
     # can never lose the primary metrics; the enriched line printed after
     # supersedes it (consumers take the last JSON line)
-    print(json.dumps(core), flush=True)
+    _install_signal_reprint()
+    _emit(core)
+    import signal
+
     try:
+        # abort the e2e with a catchable exception when the internal
+        # deadline hits (30 s of slack to print + flush)
+        rem = _remaining() - 30
+        if rem <= 60:
+            raise TimeoutError("no budget left for e2e")
+        if hasattr(signal, "SIGALRM"):
+            def alarm(_s, _f):
+                raise TimeoutError(f"bench deadline {BENCH_DEADLINE_S}s hit")
+
+            signal.signal(signal.SIGALRM, alarm)
+            signal.alarm(int(rem))
         e2e = bench_e2e()
-    except Exception as exc:  # noqa: BLE001 — e2e must not sink the bench
+    except BaseException as exc:  # noqa: BLE001 — e2e must not sink the bench
+        if isinstance(exc, SystemExit):
+            raise
         e2e = {"e2e": {"error": str(exc)[:200]}}
+    finally:
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(0)
     if e2e:
         core["extra"].update(e2e)
-        print(json.dumps(core), flush=True)
+        _emit(core)
 
 
 def speed_of_light(kmers_per_sec: float) -> dict:
@@ -329,6 +382,10 @@ def bench_e2e() -> dict:
     from spades_tpu.pipeline.stages import STAGE_TIMES
 
     G = int(float(os.environ.get("SPADES_BENCH_E2E_MB", "10")) * 1e6)
+    # shrink the dataset rather than blow the deadline when the remaining
+    # budget cannot carry the full-size e2e (explicit env overrides win)
+    if "SPADES_BENCH_E2E_MB" not in os.environ and _remaining() < 900:
+        G = min(G, 2_000_000)
     cov, rl, err = 30, 150, 0.003
     genome, r1, r2 = make_e2e_dataset(G, cov, rl, err, seed=42)
     lefts = list(r1)

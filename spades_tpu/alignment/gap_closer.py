@@ -132,13 +132,21 @@ def _collect_votes(
 
 def close_gaps(
     g: CondensedGraph,
-    paired: list[tuple[list[str], list[str]]],
+    paired: list[tuple[list[str], list[str]]] | None = None,
     index: EdgeIndex | None = None,
     mesh=None,
+    engine=None,
+    paired_stores: list | None = None,
 ) -> int:
     """Close tip-to-tip gaps supported by read pairs.  Returns #gaps closed.
 
     Mutates the graph in place (splices edges, kills the originals).
+
+    Preferred input is `engine` (a shared `alignment.mapper.MappingEngine`)
+    + `paired_stores` ((left ReadStore, right-RC ReadStore, lib_type)
+    triples): reads are packed once per run and the edge index is built and
+    uploaded once per graph state.  The legacy `paired` string-list path
+    (and `mesh`) remains for tools/tests.
 
     mesh: optional jax.sharding.Mesh — the hot mapping phase runs through
     the sharded mapper (`parallel/sharded_mapping.py`), the GapCloserMPI
@@ -146,43 +154,57 @@ def close_gaps(
     ranks the same way); vote collection and the final overlap splices stay
     on the host exactly as the reference's are serial under a lock."""
     cfg = GapCloserConfig()
-    if g.num_edges < 2 or not paired:
+    if g.num_edges < 2 or not (paired or paired_stores):
         return 0
     dead_end = _dead_end_edges(g)
     dead_start = _dead_start_edges(g)
     if not dead_end or not dead_start:
         return 0
-    index = index or build_edge_index(g)
-
-    from ..io.libraries import iter_fr_libs
 
     votes: dict[tuple[int, int], int] = {}
-    for r1s, r2s, _lib_type in iter_fr_libs(paired):
-        r2rc = [
-            dna.revcomp_str(s) if isinstance(s, str)
-            else dna.revcomp_codes(dna.encode(s))
-            for s in r2s
-        ]
-        if mesh is not None:
-            from ..core.reads import ReadBatch
-            from ..parallel.sharded_mapping import map_reads_sharded
+    if paired_stores:
+        if engine is None:
+            from .mapper import MappingEngine
 
-            e1a, s1a, _ = map_reads_sharded(index, g, ReadBatch.from_sequences(r1s), mesh)
-            e2a, s2a, _ = map_reads_sharded(index, g, ReadBatch.from_sequences(r2rc), mesh)
-            e1a, s1a = np.asarray(e1a[: len(r1s)]), np.asarray(s1a[: len(r1s)])
-            e2a, s2a = np.asarray(e2a[: len(r2rc)]), np.asarray(s2a[: len(r2rc)])
-        else:
-            m1 = map_read_batch(index, g, r1s)
-            # FR orientation: the right mate spells the reverse strand
-            m2 = map_read_batch(index, g, r2rc)
-            e1a = np.array([m.edge if m else -1 for m in m1], np.int64)
-            s1a = np.array([m.start_offset if m else 0 for m in m1], np.int64)
-            e2a = np.array([m.edge if m else -1 for m in m2], np.int64)
-            s2a = np.array([m.start_offset if m else 0 for m in m2], np.int64)
-        for pair, c in _collect_votes(
-            g, e1a, s1a, e2a, s2a, dead_end, dead_start, cfg
-        ).items():
-            votes[pair] = votes.get(pair, 0) + c
+            engine = MappingEngine(g, index=index, mesh=mesh)
+        for st1, st2rc, _lib_type in paired_stores:
+            e1a, s1a, _ = engine.map_store(st1)
+            e2a, s2a, _ = engine.map_store(st2rc)
+            for pair, c in _collect_votes(
+                g, e1a, s1a, e2a, s2a, dead_end, dead_start, cfg
+            ).items():
+                votes[pair] = votes.get(pair, 0) + c
+    else:
+        index = index or build_edge_index(g)
+
+        from ..io.libraries import iter_fr_libs
+
+        for r1s, r2s, _lib_type in iter_fr_libs(paired):
+            r2rc = [
+                dna.revcomp_str(s) if isinstance(s, str)
+                else dna.revcomp_codes(dna.encode(s))
+                for s in r2s
+            ]
+            if mesh is not None:
+                from ..core.reads import ReadBatch
+                from ..parallel.sharded_mapping import map_reads_sharded
+
+                e1a, s1a, _ = map_reads_sharded(index, g, ReadBatch.from_sequences(r1s), mesh)
+                e2a, s2a, _ = map_reads_sharded(index, g, ReadBatch.from_sequences(r2rc), mesh)
+                e1a, s1a = np.asarray(e1a[: len(r1s)]), np.asarray(s1a[: len(r1s)])
+                e2a, s2a = np.asarray(e2a[: len(r2rc)]), np.asarray(s2a[: len(r2rc)])
+            else:
+                m1 = map_read_batch(index, g, r1s)
+                # FR orientation: the right mate spells the reverse strand
+                m2 = map_read_batch(index, g, r2rc)
+                e1a = np.array([m.edge if m else -1 for m in m1], np.int64)
+                s1a = np.array([m.start_offset if m else 0 for m in m1], np.int64)
+                e2a = np.array([m.edge if m else -1 for m in m2], np.int64)
+                s2a = np.array([m.start_offset if m else 0 for m in m2], np.int64)
+            for pair, c in _collect_votes(
+                g, e1a, s1a, e2a, s2a, dead_end, dead_start, cfg
+            ).items():
+                votes[pair] = votes.get(pair, 0) + c
 
     closed = 0
     used: set[int] = set()

@@ -99,6 +99,149 @@ class ReadMapping:
     n_hits: int
 
 
+class MappingEngine:
+    """Per-graph-state mapping engine: one EdgeIndex build + ONE device
+    upload, reused by every mapping pass against this graph state.
+
+    The reference's BasicSequenceMapper holds a per-GraphPack index the
+    stages share (`alignment/sequence_mapper.hpp`); round 4 instead rebuilt
+    and re-uploaded the index inside every gap-closer / pair-info call.
+    Stages obtain the engine via `AssemblyContext` and must invalidate it
+    after mutating the graph."""
+
+    def __init__(self, g: CondensedGraph, index: EdgeIndex | None = None,
+                 mesh=None):
+        self.g = g
+        self._index = index
+        self._k = index.k if index is not None else g.k
+        self._mesh = mesh
+        self._prep = None
+
+    @property
+    def index(self) -> EdgeIndex:
+        """Host EdgeIndex — built lazily: the device mapping path never needs
+        it (the index is extracted + sorted in HBM, `build_index_device`)."""
+        if self._index is None:
+            self._index = build_edge_index(self.g, self._k)
+        return self._index
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            from ..parallel.sharded_count import make_mesh
+
+            self._mesh = make_mesh()
+        return self._mesh
+
+    def _device_index(self):
+        if self._prep is None:
+            import os
+
+            from ..parallel.sharded_mapping import (
+                build_index_device,
+                prepare_index_device,
+            )
+
+            # big pools: extract + sort the index in HBM (host lexsort and
+            # the padded upload both scale with pool size); small pools:
+            # reuse/upload the host index (cheap, and tools may have one)
+            thresh = int(os.environ.get("SPADES_DEVICE_INDEX_POOL", 2_000_000))
+            if self._index is None and len(self.g.seq_pool) >= thresh:
+                self._prep = build_index_device(self.g, self._k)
+            else:
+                self._prep = prepare_index_device(self.index, self.g)
+        return self._prep
+
+    def map_store(self, store, kmer_mapper=None):
+        """Map every read of a ReadStore.  Returns (edge, start, votes)
+        int64/int32 numpy arrays of length store.n (edge == -1 unmapped).
+
+        Device path for large stores (same SPADES_DEVICE_MAP_READS threshold
+        as `map_read_batch`); with a non-empty kmer_mapper the unmapped
+        residue re-runs on the host path, which applies the projection."""
+        import os
+
+        thresh = int(os.environ.get("SPADES_DEVICE_MAP_READS", 200_000))
+        use_device = store.n >= thresh
+        edge = np.full(store.n, -1, np.int64)
+        start = np.zeros(store.n, np.int64)
+        votes = np.zeros(store.n, np.int64)
+        c0 = 0
+        for ch in store.chunks:
+            if use_device:
+                try:
+                    e, s, v = self._map_chunk_device(ch)
+                except Exception as exc:  # noqa: BLE001 — fall back to host
+                    import logging
+
+                    logging.getLogger("spades_tpu.mapper").warning(
+                        "device mapper failed (%s) — host fallback", exc
+                    )
+                    use_device = False
+            if not use_device:
+                e, s, v = self._map_chunk_host(ch, kmer_mapper)
+            edge[c0 : c0 + ch.n] = e[: ch.n]
+            start[c0 : c0 + ch.n] = s[: ch.n]
+            votes[c0 : c0 + ch.n] = v[: ch.n]
+            c0 += ch.n
+        if use_device and kmer_mapper is not None and kmer_mapper.size > 0:
+            miss = np.flatnonzero(edge < 0)
+            if miss.size:
+                seqs = self._gather_sequences(store, miss)
+                sub = map_read_batch(self.index, self.g, seqs,
+                                     kmer_mapper=kmer_mapper, _force_host=True)
+                for i, m in zip(miss, sub):
+                    if m is not None:
+                        edge[i], start[i], votes[i] = m.edge, m.start_offset, m.n_hits
+        return edge, start, votes
+
+    def _map_chunk_device(self, ch):
+        from ..parallel.sharded_mapping import map_packed_sharded
+
+        pc, pn, lengths = ch.device()
+        return map_packed_sharded(self._device_index(), self._k,
+                                  pc, pn, lengths, ch.L, ch.n, self.mesh)
+
+    def _map_chunk_host(self, ch, kmer_mapper):
+        b = ch.unpack_host()
+        seqs = [
+            np.where(b.n_mask[i, : b.lengths[i]], dna.NCODE,
+                     b.codes[i, : b.lengths[i]]).astype(np.uint8)
+            for i in range(ch.n)
+        ]
+        ms = map_read_batch(self.index, self.g, seqs, kmer_mapper=kmer_mapper,
+                            _force_host=True)
+        e = np.array([m.edge if m else -1 for m in ms], np.int64)
+        s = np.array([m.start_offset if m else 0 for m in ms], np.int64)
+        v = np.array([m.n_hits if m else 0 for m in ms], np.int64)
+        return e, s, v
+
+    @staticmethod
+    def _gather_sequences(store, idxs):
+        """Sequences (uint8 code arrays, N as NCODE) for global read ids."""
+        out = []
+        bounds = []
+        a = 0
+        for ch in store.chunks:
+            bounds.append((a, a + ch.n, ch))
+            a += ch.n
+        bi = 0
+        cache = {}
+        for i in idxs:
+            while not (bounds[bi][0] <= i < bounds[bi][1]):
+                bi += 1
+            a0, _, ch = bounds[bi]
+            if bi not in cache:
+                cache[bi] = ch.unpack_host()
+            b = cache[bi]
+            r = int(i - a0)
+            n = int(b.lengths[r])
+            c = b.codes[r, :n].copy()
+            c[b.n_mask[r, :n]] = dna.NCODE
+            out.append(c)
+        return out
+
+
 def _map_read_batch_device(
     index: EdgeIndex, g: CondensedGraph, seqs
 ) -> list["ReadMapping | None"]:

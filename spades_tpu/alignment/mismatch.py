@@ -57,13 +57,34 @@ def position_votes(
     return votes
 
 
-def correct_mismatches(g: CondensedGraph, reads: list[str], index: EdgeIndex | None = None) -> int:
-    """Fix edge-sequence mismatches by read majority vote.  Returns #bases fixed."""
+def correct_mismatches(g: CondensedGraph, reads: list[str] | None = None,
+                       index: EdgeIndex | None = None, store=None,
+                       engine=None, mesh=None) -> int:
+    """Fix edge-sequence mismatches by read majority vote.  Returns #bases fixed.
+
+    With `store` (a run-wide packed ReadStore), the mapping + vote tally run
+    sharded across the device mesh with a psum vote merge — the
+    MismatchCorrectionMPI split (`hpcspades/mpi/stages/
+    mismatch_correction_mpi.hpp`: read shards per rank, vote allreduce,
+    fixes applied on the master); `engine` reuses a shared MappingEngine's
+    index + device upload.  The legacy string-list path stays for
+    tools/tests."""
     cfg = MismatchConfig()
-    if g.num_edges == 0 or not reads:
+    if g.num_edges == 0 or not (reads or store):
         return 0
-    index = index or build_edge_index(g)
-    votes = position_votes(g, reads, index, cfg.batch_size)
+    if engine is not None:
+        index = engine.index
+    else:
+        index = index or build_edge_index(g)
+    if store is not None:
+        from ..parallel.sharded_mapping import position_votes_sharded
+
+        prep = engine._device_index() if engine is not None else None
+        mesh = mesh or (engine.mesh if engine is not None else None)
+        votes = position_votes_sharded(index, g, mesh=mesh, store=store,
+                                       prep=prep)
+    else:
+        votes = position_votes(g, reads, index, cfg.batch_size)
 
     fixed = 0
     for e in g.canonical_edge_ids():

@@ -227,3 +227,105 @@ def chop_sequences(seqs: Iterable[str], k: int, max_len: int = 4096) -> Iterable
         else:
             for a in range(0, len(s) - (k - 1), step):
                 yield s[a : a + max_len]
+
+
+def revcomp_batch(batch: ReadBatch) -> ReadBatch:
+    """Vectorized reverse-complement of a ReadBatch (per-row, length-aware).
+
+    Row i's valid prefix [0, len_i) becomes the reverse complement in the
+    same left-aligned layout; padding stays at the tail.  One gather over the
+    whole matrix — the FR-library right-mate normalization that used to run
+    as a per-read Python revcomp (minutes at millions of reads)."""
+    codes, lengths, n_mask = batch.codes, batch.lengths, batch.n_mask
+    R, L = codes.shape
+    j = np.arange(L, dtype=np.int64)[None, :]
+    src = lengths.astype(np.int64)[:, None] - 1 - j          # (R, L)
+    valid = src >= 0
+    src = np.where(valid, src, 0)
+    rows = np.arange(R, dtype=np.int64)[:, None]
+    rc = np.where(valid, (3 - codes[rows, src]) & 3, 0).astype(np.uint8)
+    nm = np.where(valid, n_mask[rows, src], False)
+    rc[nm] = 0
+    return ReadBatch(codes=rc, lengths=lengths.copy(), n_mask=nm,
+                     n_seqs=batch.n_seqs)
+
+
+@dataclass
+class PackedChunk:
+    """One fixed-shape chunk of the run-wide read store, in wire format."""
+
+    pc: np.ndarray        # (R, ceil(L/4)) uint8 2-bit packed codes
+    pn: np.ndarray        # (R, ceil(L/8)) uint8 bit-packed N mask
+    lengths: np.ndarray   # (R,) int32
+    L: int
+    n: int                # real reads in this chunk (rows beyond are padding)
+    _dev: tuple | None = None
+
+    def device(self):
+        """Device copies of the wire arrays — uploaded once, then reused by
+        every counting/mapping pass of the run."""
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = (
+                jnp.asarray(self.pc), jnp.asarray(self.pn),
+                jnp.asarray(self.lengths),
+            )
+        return self._dev
+
+    def unpack_host(self) -> ReadBatch:
+        """Wire -> host ReadBatch (for numpy fallback paths)."""
+        R = self.pc.shape[0]
+        shifts = np.arange(4, dtype=np.uint8) * 2
+        codes = ((self.pc[:, :, None] >> shifts[None, None, :]) & 3)
+        codes = codes.reshape(R, -1)[:, : self.L].astype(np.uint8)
+        nm = np.unpackbits(self.pn, axis=1, bitorder="little")[:, : self.L].astype(bool)
+        return ReadBatch(codes=codes, lengths=self.lengths.copy(), n_mask=nm,
+                         n_seqs=self.n)
+
+
+class ReadStore:
+    """Run-wide packed read set: encode + 2-bit pack ONCE, reuse everywhere.
+
+    The reference converts reads to its binary chunk format once
+    (`io/reads/binary_converter.hpp:29`) and every later stage streams those
+    chunks; this is the same discipline for the TPU pipeline — counting at
+    every k, gap closing, pair-info mapping and mismatch correction all
+    consume the same immutable chunks (and their one-time device uploads)
+    instead of re-encoding Python strings per stage (round-4 profile: the
+    re-packing + re-upload loop dominated the gap-closer stages)."""
+
+    def __init__(self, chunks: list[PackedChunk], n: int):
+        self.chunks = chunks
+        self.n = n
+
+    @classmethod
+    def build(cls, seqs, chunk_reads: int = 262144, rc: bool = False) -> "ReadStore":
+        """Pack a sequence list (str or uint8 codes) into pow2-shape chunks.
+
+        rc=True stores each read's reverse complement (FR right mates are
+        stored pre-normalized onto the forward strand)."""
+        chunks: list[PackedChunk] = []
+        n = len(seqs)
+        # one shared padded length across chunks: every jitted consumer
+        # compiles once per (rows, L) and full chunks all share the shape.
+        # L rounds to a multiple of 8 (NOT pow2: padding rows become
+        # sentinel sort work in the counting kernel, and pow2-padding a
+        # 150 nt read to 256 nearly doubles the sorted row count)
+        maxlen = max((len(s) for s in seqs), default=8)
+        L8 = _round_up(max(maxlen, 8), 8)
+        for c0 in range(0, n, chunk_reads):
+            part = seqs[c0 : c0 + chunk_reads]
+            b = ReadBatch.from_sequences(
+                part,
+                pad_len_to=L8,
+                pad_reads_to=_next_pow2(len(part), lo=min(chunk_reads, 1024)),
+            )
+            if rc:
+                b = revcomp_batch(b)
+            pc, pn, lengths, L = b.packed()
+            chunks.append(PackedChunk(pc=pc, pn=pn, lengths=lengths, L=L,
+                                      n=len(part)))
+        if not chunks:
+            chunks = []
+        return cls(chunks, n)

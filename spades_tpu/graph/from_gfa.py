@@ -60,6 +60,23 @@ def graph_from_gfa(gg: GfaGraph, k: int) -> CondensedGraph:
     for a, o1, b, o2, ov in gg.links:
         if a not in name2i or b not in name2i:
             continue
+        # The flat-k graph model requires every L-line overlap to equal k
+        # (vertices ARE k-overlaps).  The reference graph core carries
+        # per-vertex explicit/complex overlap links instead
+        # (assembly_graph/core/debruijn_data.hpp:31-42 OverlapKind /
+        # OverlapStorage) and can ingest mixed-overlap GFA; here that is a
+        # typed user error rather than silent corruption.
+        if ov not in (None, 0, k):  # 0 = '*' (unspecified) — assume k
+            from ..utils.errors import ExitCode, SpadesError
+
+            raise SpadesError(
+                f"GFA link {a}{o1} -> {b}{o2} has overlap {ov} != k={k}: "
+                "variable-overlap (multiplex) GFA is not representable in "
+                "the flat-k graph model — re-export the graph with uniform "
+                "k-1 overlaps (e.g. gfatools asm -u) or load at the "
+                "matching k",
+                ExitCode.INVALID_INPUT_FORMAT,
+            )
         ea, eb = oid(a, o1), oid(b, o2)
         dsu.union(s_out(ea), s_in(eb))
         # conjugate link

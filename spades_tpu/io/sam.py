@@ -133,3 +133,126 @@ def mappings_to_sam(
         n += 1
     write_sam(path, refs, records)
     return n
+
+
+# ---------------------------------------------------------------------------
+# BAM support: BGZF-compressed binary SAM (reference reads BAM through its
+# SAM layer, `/root/reference/src/common/io/sam/bam_parser.cpp:1` + vendored
+# bamtools).  BGZF blocks are standard gzip members with an extra field, so
+# Python's gzip reader (which handles concatenated members) inflates them;
+# records decode into the same SamRecord model the text parser yields.
+# ---------------------------------------------------------------------------
+
+_BAM_SEQ_CODES = "=ACMGRSVTWYHKDBN"
+_BAM_CIGAR_OPS = "MIDNSHP=X"
+
+
+def _decode_bam_records(data: bytes) -> Iterator[SamRecord]:
+    import struct
+
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream (bad magic)")
+    off = 4
+    (l_text,) = struct.unpack_from("<i", data, off)
+    off += 4 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs: list[str] = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        refs.append(data[off : off + l_name - 1].decode())
+        off += l_name + 4  # skip trailing NUL already excluded + l_ref
+    n = len(data)
+    while off + 4 <= n:
+        (block_size,) = struct.unpack_from("<i", data, off)
+        off += 4
+        end = off + block_size
+        (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         _next_ref, _next_pos, _tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+        p = off + 32
+        qname = data[p : p + l_read_name - 1].decode()
+        p += l_read_name
+        cigar_parts = []
+        for _ in range(n_cigar):
+            (cv,) = struct.unpack_from("<I", data, p)
+            cigar_parts.append(f"{cv >> 4}{_BAM_CIGAR_OPS[cv & 0xF]}")
+            p += 4
+        nybbles = data[p : p + (l_seq + 1) // 2]
+        p += (l_seq + 1) // 2
+        chars = []
+        for i in range(l_seq):
+            b = nybbles[i // 2]
+            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+            chars.append(_BAM_SEQ_CODES[code])
+        seq = "".join(chars)
+        # qual + tags skipped (corrector/binspreader use pos/flag/cigar/seq)
+        off = end
+        yield SamRecord(
+            qname=qname, flag=flag,
+            rname=refs[ref_id] if 0 <= ref_id < len(refs) else "*",
+            pos=pos + 1 if pos >= 0 else 0, mapq=mapq,
+            cigar="".join(cigar_parts) or "*", seq=seq or "*", tags={},
+        )
+
+
+def read_bam(path: str) -> Iterator[SamRecord]:
+    """Iterate alignment records of a BAM file (BGZF or plain-gzip)."""
+    import gzip
+
+    with gzip.open(path, "rb") as fh:
+        data = fh.read()
+    yield from _decode_bam_records(data)
+
+
+def write_bam(path: str, references: list[tuple[str, int]],
+              records: list[SamRecord]) -> None:
+    """Write records as BAM (single gzip member — readable by `read_bam`
+    and any BGZF-tolerant reader; this writer exists for round-trips and
+    tool interop tests, the product writer remains SAM text)."""
+    import gzip
+    import struct
+
+    out = bytearray()
+    text = "@HD\tVN:1.6\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in references
+    )
+    out += b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+    out += struct.pack("<i", len(references))
+    for nme, ln in references:
+        nb = nme.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+    ref_ids = {n: i for i, (n, _) in enumerate(references)}
+    rev_codes = {c: i for i, c in enumerate(_BAM_SEQ_CODES)}
+    for r in records:
+        ops = r.cigar_ops() if r.cigar != "*" else []
+        seq = "" if r.seq == "*" else r.seq
+        nyb = bytearray((len(seq) + 1) // 2)
+        for i, c in enumerate(seq):
+            code = rev_codes.get(c.upper(), 15)
+            nyb[i // 2] |= code << 4 if i % 2 == 0 else code
+        body = struct.pack(
+            "<iiBBHHHiiii",
+            ref_ids.get(r.rname, -1), r.pos - 1 if r.pos > 0 else -1,
+            len(r.qname) + 1, r.mapq, 0, len(ops), r.flag, len(seq),
+            -1, -1, 0,
+        )
+        body += r.qname.encode() + b"\x00"
+        for cnt, op in ops:
+            body += struct.pack("<I", (cnt << 4) | _BAM_CIGAR_OPS.index(op))
+        body += bytes(nyb)
+        body += b"\xff" * len(seq)  # quals absent
+        out += struct.pack("<i", len(body)) + body
+    with gzip.open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def read_alignments(path: str) -> Iterator[SamRecord]:
+    """Dispatch SAM text vs BAM by content (gzip/BAM magic), not extension —
+    the corrector's --sam input and binspreader alignments accept both."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head[:2] == b"\x1f\x8b":
+        yield from read_bam(path)
+    else:
+        yield from read_sam(path)

@@ -176,6 +176,145 @@ def count_batch_packed_unique(packed_codes, packed_nmask, lengths, L: int,
     return count_batch_device_unique(codes, lengths, n_mask, k, use_pallas=use_pallas)
 
 
+# ---------------------------------------------------------------------------
+# Device-resident run accumulation: per-batch unique runs stay in HBM and are
+# merged ON DEVICE; the host pulls ONE final table per k.  This replaces the
+# per-batch device->host pull + host loser-tree merge (the dominant cost when
+# the device link is a high-latency tunnel) — the TPU analog of the reference
+# keeping buckets on local disk and merging them once at the end of counting
+# (`kmer_index_builder.hpp:306-430`).
+# ---------------------------------------------------------------------------
+
+
+def _pow2ceil(n: int, floor: int = 4096) -> int:
+    """Smallest power of two >= max(n, floor) — quantizes run capacities so
+    the merge/compact programs hit a bounded set of shapes (stable compiles)."""
+    n = max(int(n), floor)
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_run_device(words, counts, nu, cap: int):
+    """Canonicalize a device run to capacity `cap`: rows [0, nu) keep their
+    (sorted unique) words/counts, rows [nu, cap) become sentinel/zero.
+
+    Input rows beyond `cap` are dropped (callers guarantee nu <= cap); inputs
+    shorter than `cap` are sentinel-padded."""
+    n = words.shape[0]
+    W = words.shape[1]
+    if cap <= n:
+        w, c = words[:cap], counts[:cap]
+    else:
+        w = jnp.pad(words, ((0, cap - n), (0, 0)), constant_values=K.SENTINEL32)
+        c = jnp.pad(counts, (0, cap - n))
+    keep = jnp.arange(cap, dtype=jnp.int32) < nu
+    w = jnp.where(keep[:, None], w, jnp.uint32(K.SENTINEL32))
+    c = jnp.where(keep, c, 0)
+    return w, c
+
+
+@jax.jit
+def _merge_runs_device(w1, c1, w2, c2):
+    """Merge two canonical device runs (sorted unique + sentinel tail) into
+    one: concat -> multiword sort -> per-run count sum -> compact uniques to
+    the front (sentinel tail).  Returns (words, counts, n_unique)."""
+    W = w1.shape[1]
+    planes = tuple(jnp.concatenate([w1[:, i], w2[:, i]]) for i in range(W))
+    cnt = jnp.concatenate([c1, c2])
+    out = jax.lax.sort(planes + (cnt,), num_keys=W)
+    stacked = jnp.stack(out[:W], axis=-1)
+    cnt = out[W]
+    n = stacked.shape[0]
+    boundary = run_starts(stacked)
+    valid = jnp.any(stacked != K.SENTINEL32, axis=-1)
+    starts = boundary & valid
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bpos = jnp.where(boundary, pos, jnp.int32(n))
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))
+    next_boundary = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
+    csum = jnp.cumsum(cnt)
+    prev = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0)
+    run_sum = csum[jnp.maximum(next_boundary - 1, 0)] - prev
+    row_counts = jnp.where(starts, run_sum, 0)
+    flag = jnp.where(starts, jnp.uint8(0), jnp.uint8(1))
+    out2 = jax.lax.sort((flag,) + out[:W] + (row_counts,), num_keys=1, is_stable=True)
+    uw = jnp.stack(out2[1 : 1 + W], axis=-1)
+    uc = out2[1 + W]
+    nu = jnp.sum(starts.astype(jnp.int32))
+    keep = pos < nu
+    uw = jnp.where(keep[:, None], uw, jnp.uint32(K.SENTINEL32))
+    uc = jnp.where(keep, uc, 0)
+    return uw, uc, nu
+
+
+class DeviceRunStack:
+    """LSM-style stack of device-resident sorted unique runs.
+
+    `push` adds one batch's counted run; equal-capacity neighbours merge
+    eagerly (binary-counter discipline), so at most one run per pow2 level is
+    live and total HBM stays O(final unique).  `finish` merges the remainder
+    and returns ONE host KmerCounts — the only bulk device->host transfer.
+    """
+
+    def __init__(self, k: int, timings: dict | None = None):
+        self.k = k
+        self.tm = timings if timings is not None else {}
+        self.stack: list[list] = []  # [words, counts, cap, nu]
+
+    def _compact(self, w, c, nu: int):
+        cap = _pow2ceil(nu)
+        w, c = _compact_run_device(w, c, jnp.int32(nu), cap=cap)
+        return [w, c, cap, nu]
+
+    def push(self, words, counts, nu: int) -> None:
+        import time
+
+        if nu <= 0:
+            return
+        t0 = time.perf_counter()
+        self.stack.append(self._compact(words, counts, nu))
+        while len(self.stack) >= 2 and self.stack[-1][2] == self.stack[-2][2]:
+            w2, c2, _, _ = self.stack.pop()
+            w1, c1, _, _ = self.stack.pop()
+            mw, mc, mnu = _merge_runs_device(w1, c1, w2, c2)
+            self.stack.append(self._compact(mw, mc, int(mnu)))
+        self.tm["merge_s"] = self.tm.get("merge_s", 0.0) + time.perf_counter() - t0
+
+    def finish(self) -> KmerCounts:
+        import time
+
+        W = K.kmer_words(self.k)
+        if not self.stack:
+            return KmerCounts(k=self.k, words=np.zeros((0, W), np.uint32),
+                              counts=np.zeros(0, np.int64))
+        t0 = time.perf_counter()
+        while len(self.stack) >= 2:
+            w2, c2, _, _ = self.stack.pop()
+            w1, c1, _, _ = self.stack.pop()
+            mw, mc, mnu = _merge_runs_device(w1, c1, w2, c2)
+            self.stack.append(self._compact(mw, mc, int(mnu)))
+        self.tm["merge_s"] = self.tm.get("merge_s", 0.0) + time.perf_counter() - t0
+        w, c, cap, nu = self.stack.pop()
+        t0 = time.perf_counter()
+        # Chunked pull: fixed pow2 chunk shapes keep the XLA slice programs
+        # cacheable (a data-dependent w[:nu] slice would compile per value);
+        # at most one chunk of overhang crosses the link beyond nu rows.
+        CH = 1 << 22
+        if cap <= CH:
+            words = np.asarray(w)[:nu]
+            counts = np.asarray(c)[:nu].astype(np.int64)
+        else:
+            nch = (nu + CH - 1) // CH
+            words = np.concatenate(
+                [np.asarray(w[i * CH : (i + 1) * CH]) for i in range(nch)], axis=0
+            )[:nu]
+            counts = np.concatenate(
+                [np.asarray(c[i * CH : (i + 1) * CH]) for i in range(nch)], axis=0
+            )[:nu].astype(np.int64)
+        self.tm["pull_s"] = self.tm.get("pull_s", 0.0) + time.perf_counter() - t0
+        return KmerCounts(k=self.k, words=words, counts=counts)
+
+
 @dataclass
 class KmerCounts:
     """Sorted unique canonical k-mers with multiplicities (host arrays)."""
@@ -296,19 +435,21 @@ def count_reads(batches, k: int, tile: int = 512,
     """Count canonical k-mers over an iterable of ReadBatches.
 
     Each batch is fully counted ON DEVICE (`count_batch_device_unique`:
-    global sort + run-length + compaction), so the host receives one sorted
-    deduplicated run per batch — only ~total/coverage rows cross the
-    host<->device link — and k-way merges the per-batch runs
-    (`merge_counts`, native loser tree).  This is the reference's
+    global sort + run-length + compaction) and its sorted unique run STAYS
+    on device; runs merge in HBM through a `DeviceRunStack` and the host
+    pulls one final merged table per k.  This is the reference's
     buffer-flush/bucket-merge split (`kmer_index_builder.hpp:306-430`) with
-    the per-thread buffer replaced by the whole device batch.
+    per-thread buffers replaced by device batches and the disk-bucket merge
+    replaced by an in-HBM LSM merge — the right split when the host link is
+    a high-latency tunnel (round-4 profile: 31 per-batch pulls + host merge
+    cost 216s/K vs 22s of device time).
 
     timings: optional dict accumulating the per-phase wall-time account the
     reference keeps via TIME_TRACE_SCOPE (`kmer_index_builder.hpp:309,318`):
     device_s (dispatch+sync of the counting program), device_first_s (the
     first dispatch, which carries the XLA compile when the persistent cache
-    is cold), pull_s (device->host transfer of unique rows), merge_s (host
-    run merge), host_s (numpy small-batch path), n_batches.
+    is cold), pull_s (final device->host transfer), merge_s (device run
+    merging), host_s (numpy small-batch path), n_batches.
     """
     import os
     import time
@@ -328,9 +469,34 @@ def count_reads(batches, k: int, tile: int = 512,
     # for a one-off small shape costs far more than counting a few Mkmers in
     # numpy (see count_batch_host)
     host_thresh = int(os.environ.get("SPADES_HOST_COUNT_WINDOWS", 4_000_000))
-    runs: list[KmerCounts] = []
+    from ..core.reads import PackedChunk
+
+    host_runs: list[KmerCounts] = []
+    dstack = DeviceRunStack(k, timings=tm)
     for b in batches:
-        if isinstance(b, ReadBatch):
+        if isinstance(b, PackedChunk):
+            # run-wide read store: wire arrays already on device (uploaded
+            # once for the whole multi-K run)
+            if b.L < k or b.n == 0:
+                continue
+            if b.n * (b.L - k + 1) < host_thresh:
+                t0 = time.perf_counter()
+                hb = b.unpack_host()
+                r = count_batch_host(
+                    hb.codes[: b.n], hb.lengths[: b.n], hb.n_mask[: b.n], k
+                )
+                tm["host_s"] += time.perf_counter() - t0
+                if r.num_unique:
+                    host_runs.append(r)
+                continue
+            t0 = time.perf_counter()
+            pc, pn, lengths = b.device()
+            uw, uc, nu = count_batch_packed_unique(
+                pc, pn, lengths, b.L, k, use_pallas=use_pallas
+            )
+            nu = int(nu)
+            dt = time.perf_counter() - t0
+        elif isinstance(b, ReadBatch):
             if b.codes.shape[0] == 0 or b.codes.shape[1] < k:
                 continue
             R, L = b.codes.shape
@@ -339,7 +505,7 @@ def count_reads(batches, k: int, tile: int = 512,
                 r = count_batch_host(b.codes, b.lengths, b.n_mask, k)
                 tm["host_s"] += time.perf_counter() - t0
                 if r.num_unique:
-                    runs.append(r)
+                    host_runs.append(r)
                 continue
             # packed wire format: ~7x fewer bytes over the host->device link
             t0 = time.perf_counter()
@@ -366,15 +532,10 @@ def count_reads(batches, k: int, tile: int = 512,
         tm["n_batches"] += 1
         if nu == 0:
             continue
-        t0 = time.perf_counter()
-        runs.append(
-            KmerCounts(
-                k=k,
-                words=np.asarray(uw[:nu]),
-                counts=np.asarray(uc[:nu]).astype(np.int64),
-            )
-        )
-        tm["pull_s"] += time.perf_counter() - t0
+        dstack.push(uw, uc, nu)
+    runs = host_runs
+    if dstack.stack:
+        runs = runs + [dstack.finish()]
     if not runs:
         W = K.kmer_words(k)
         return KmerCounts(k=k, words=np.zeros((0, W), np.uint32), counts=np.zeros((0,), np.int64))

@@ -202,3 +202,68 @@ def cluster_distances(pi: PairedIndex, max_delta: int = 10) -> PairedIndex:
         np.array(E1, np.int64), np.array(E2, np.int64),
         np.array(D, float), np.array(W, float),
     )
+
+
+def estimate_insert_size_arrays(
+    g: CondensedGraph,
+    e1: np.ndarray, s1: np.ndarray,
+    e2: np.ndarray, s2: np.ndarray,
+    rl2: np.ndarray | int,
+) -> InsertSizeStats:
+    """Vectorized `estimate_insert_size` over mapping arrays (edge == -1
+    unmapped).  Same geometry: FR pairs whose mates land on the same oriented
+    edge; IS = read2's forward-end coordinate minus read1's start."""
+    e1 = np.asarray(e1, np.int64)
+    e2 = np.asarray(e2, np.int64)
+    ok = (e1 >= 0) & (e2 >= 0)
+    ok &= np.asarray(g.e_conj)[np.maximum(e2, 0)] == e1
+    if not ok.any():
+        return InsertSizeStats(0.0, 0.0, 0.0, 0)
+    L = np.asarray(g.e_len)[e1[ok]]
+    isize = (L - np.asarray(s2)[ok]) - np.asarray(s1)[ok]
+    isize = isize[(isize > 0) & (isize < 10000)]
+    if isize.size == 0:
+        return InsertSizeStats(0.0, 0.0, 0.0, 0)
+    arr = isize.astype(float)
+    med = float(np.median(arr))
+    mad = float(np.median(np.abs(arr - med)))
+    return InsertSizeStats(med, mad, float(arr.mean()), len(arr))
+
+
+def build_paired_index_arrays(
+    g: CondensedGraph,
+    e1: np.ndarray, s1: np.ndarray,
+    e2: np.ndarray, s2: np.ndarray,
+    insert_size: float,
+) -> PairedIndex:
+    """Vectorized `build_paired_index` over mapping arrays (edge == -1
+    unmapped): same FR geometry, conjugate symmetrization and (e1,e2,d)
+    weight aggregation, with the per-pair Python loop replaced by one
+    lexsort group-by."""
+    e1 = np.asarray(e1, np.int64)
+    e2 = np.asarray(e2, np.int64)
+    ok = (e1 >= 0) & (e2 >= 0)
+    if not ok.any():
+        z = np.zeros(0)
+        return PairedIndex(z.astype(np.int64), z.astype(np.int64), z, z)
+    a = e1[ok]
+    o1 = np.asarray(s1)[ok].astype(np.int64)
+    b = np.asarray(g.e_conj)[e2[ok]].astype(np.int64)
+    o2_end = np.asarray(g.e_len)[b] - np.asarray(s2)[ok].astype(np.int64)
+    d = np.round(o1 + insert_size - o2_end).astype(np.int64)
+    ce1 = np.asarray(g.e_conj)[b]
+    ce2 = np.asarray(g.e_conj)[a]
+    cd = d + (np.asarray(g.e_len)[a] - g.k) - (np.asarray(g.e_len)[b] - g.k)
+    E1 = np.concatenate([a, ce1])
+    E2 = np.concatenate([b, ce2])
+    D = np.concatenate([d, cd])
+    w = np.ones_like(D, float)
+    order = np.lexsort((D, E2, E1))
+    E1, E2, D, w = E1[order], E2[order], D[order], w[order]
+    key_new = np.concatenate(
+        [[True], (E1[1:] != E1[:-1]) | (E2[1:] != E2[:-1]) | (D[1:] != D[:-1])]
+    )
+    seg = np.cumsum(key_new) - 1
+    wsum = np.zeros(seg[-1] + 1)
+    np.add.at(wsum, seg, w)
+    return PairedIndex(E1[key_new], E2[key_new], D[key_new], wsum)

@@ -125,8 +125,14 @@ def _count_shard_body(packed_codes, packed_nmask, lengths, L: int, k: int,
     return unique_words, unique_counts, n_unique, jax.lax.psum(overflow, axis)
 
 
+@functools.lru_cache(maxsize=32)
 def make_sharded_counter(mesh: Mesh, k: int, L: int, cap: int, axis: str = "d"):
     """Build the jitted multi-chip counting step for a fixed shard shape.
+
+    lru_cached: jax.jit caches executables per CALLABLE, so rebuilding the
+    shard_map wrapper on every batch/retry would recompile the whole
+    counter each time (pow2 cap quantization upstream keeps this key set
+    small).
 
     Returns fn(packed_codes, packed_nmask, lengths) -> (unique_kmers, counts,
     n_unique, overflow) with per-device outputs sharded along the first axis
@@ -168,12 +174,16 @@ def count_kmers_sharded(batch, k: int, mesh: Mesh | None = None, safety: float =
     packed_nmask = np.pad(packed_nmask, ((0, pad), (0, 0)))
     lengths = np.pad(lengths, (0, pad))
     per_dev = packed_codes.shape[0] // n_dev * P_win
-    cap = int(np.ceil(per_dev * safety / n_dev)) + 16
+    # pow2-quantized cap: a doubling retry then reuses a CACHED executable
+    # (`make_sharded_counter` is keyed by cap; arbitrary caps made every
+    # retry a fresh multi-minute XLA compile) and repeated runs of the same
+    # dataset always hit the same shapes
+    cap = 1 << int(np.ceil(per_dev * safety / n_dev) + 16).bit_length()
     # adversarial hash skew can overflow any fixed cap: retry with a doubled
     # cap instead of failing (the reference rebalances skewed work the same
     # way through partask's weighted splitter, partask_mpi.hpp:1296-1374);
     # cap can never usefully exceed the per-device window count
-    max_cap = per_dev + 16
+    max_cap = 1 << int(per_dev + 16).bit_length()
     while True:
         fn = make_sharded_counter(mesh, k, L, cap, axis)
         uwords, ucounts, n_unique, overflow = fn(
@@ -193,7 +203,9 @@ def count_kmers_sharded(batch, k: int, mesh: Mesh | None = None, safety: float =
             int(overflow), cap, min(cap * 2, max_cap),
         )
         cap = min(cap * 2, max_cap)
-    # pull only each shard's unique prefix (device-side slice -> small pull)
+    # pull each shard as a STATIC full-cap slice and trim on host: a
+    # data-dependent uwords[base : base+nu] slice would compile one tiny XLA
+    # slice program per distinct nu (one per shard per batch — unbounded)
     n_unique = np.asarray(n_unique)
     shard_rows = uwords.shape[0] // n_dev
     runs = []
@@ -201,8 +213,8 @@ def count_kmers_sharded(batch, k: int, mesh: Mesh | None = None, safety: float =
         nu = int(n_unique[d])
         if nu == 0:
             continue
-        sw = np.asarray(uwords[d * shard_rows : d * shard_rows + nu])
-        ct = np.asarray(ucounts[d * shard_rows : d * shard_rows + nu]).astype(np.int64)
+        sw = np.asarray(uwords[d * shard_rows : (d + 1) * shard_rows])[:nu]
+        ct = np.asarray(ucounts[d * shard_rows : (d + 1) * shard_rows])[:nu].astype(np.int64)
         runs.append(KmerCounts(k=k, words=sw, counts=ct))
     if not runs:
         W = K.kmer_words(k)

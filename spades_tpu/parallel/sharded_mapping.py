@@ -157,29 +157,18 @@ def _pow2(n: int, lo: int = 8) -> int:
     return p
 
 
-def map_reads_sharded(index, g, batch, mesh: Mesh | None = None):
-    """Host wrapper: map a ReadBatch across the mesh against an EdgeIndex.
+def prepare_index_device(index, g):
+    """Pad the edge index + graph columns to pow2 rows and upload ONCE.
 
-    Returns (edge (R,), start (R,), votes (R,)) numpy arrays; edge == -1
-    means unmapped.  Matches `alignment.mapper.map_read_batch` decisions up
-    to vote ties.
-
-    The index and graph arrays are padded to pow2 rows so the jitted program
-    shape is stable across graph states — every K iteration and every
-    gap-closer invocation would otherwise force a fresh XLA compile (minutes
-    through the remote compile service).  Index padding rows are all-ones
-    k-mers, lexicographically greatest and never equal to a real canonical
-    k-mer (odd k leaves zero low bits in the last packed word)."""
-    mesh = mesh or make_mesh()
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    R = batch.codes.shape[0]
-    pad = (-R) % n_dev
-    pc, pn, lengths_w, L = batch.packed()
-    pc = np.pad(pc, ((0, pad), (0, 0)))
-    pn = np.pad(pn, ((0, pad), (0, 0)))
-    lengths = np.pad(np.asarray(lengths_w), (0, pad))
-
+    Returns the device-resident tuple consumed by the sharded mapper.  The
+    pow2 padding keeps the jitted program shape stable across graph states
+    (a fresh XLA compile costs minutes through the remote compile service);
+    caching the upload matters just as much: the padded index is hundreds of
+    MB on real graphs and used to cross the host->device tunnel on EVERY
+    map_reads_sharded call (twice per gap-closer pass).  Index padding rows
+    are all-ones k-mers, lexicographically greatest and never equal to a
+    real canonical k-mer (odd k leaves zero low bits in the last packed
+    word)."""
     U = index.kmers.shape[0]
     U2 = _pow2(max(U, 1))
     kmers = np.full((U2, index.kmers.shape[1]), 0xFFFFFFFF, np.uint32)
@@ -196,15 +185,44 @@ def map_reads_sharded(index, g, batch, mesh: Mesh | None = None):
     conj[:E] = g.e_conj
     e_len = np.zeros(E2, np.int32)
     e_len[:E] = g.e_len
+    return tuple(
+        jnp.asarray(a) for a in (kmers, iedge, ioff, istr, conj, e_len)
+    )
 
-    fn = make_sharded_mapper(mesh, index.k, L, axis)
+
+def map_packed_sharded(prep, k: int, pc, pn, lengths, L: int, R: int,
+                       mesh: Mesh):
+    """Map one packed wire chunk (host or device arrays) against a prepared
+    device index.  Returns (edge, start, votes) numpy arrays of length R."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    rows = int(np.asarray(pc).shape[0] if not hasattr(pc, "shape") else pc.shape[0])
+    if rows % n_dev:
+        pad = (-rows) % n_dev
+        pc = np.pad(np.asarray(pc), ((0, pad), (0, 0)))
+        pn = np.pad(np.asarray(pn), ((0, pad), (0, 0)))
+        lengths = np.pad(np.asarray(lengths), (0, pad))
+    fn = make_sharded_mapper(mesh, k, L, axis)
     edge, start, votes = fn(
-        jnp.asarray(pc), jnp.asarray(pn), jnp.asarray(lengths),
-        jnp.asarray(kmers), jnp.asarray(iedge),
-        jnp.asarray(ioff), jnp.asarray(istr),
-        jnp.asarray(conj), jnp.asarray(e_len),
+        jnp.asarray(pc), jnp.asarray(pn), jnp.asarray(lengths), *prep
     )
     return (np.asarray(edge)[:R], np.asarray(start)[:R], np.asarray(votes)[:R])
+
+
+def map_reads_sharded(index, g, batch, mesh: Mesh | None = None, prep=None):
+    """Host wrapper: map a ReadBatch across the mesh against an EdgeIndex.
+
+    Returns (edge (R,), start (R,), votes (R,)) numpy arrays; edge == -1
+    means unmapped.  Matches `alignment.mapper.map_read_batch` decisions up
+    to vote ties.  Pass `prep` (from `prepare_index_device`) to reuse a
+    device-resident index across calls."""
+    mesh = mesh or make_mesh()
+    R = batch.codes.shape[0]
+    pc, pn, lengths_w, L = batch.packed()
+    if prep is None:
+        prep = prepare_index_device(index, g)
+    return map_packed_sharded(prep, index.k, pc, pn, np.asarray(lengths_w),
+                              L, R, mesh)
 
 
 def pair_info_sharded(g, edge1, start1, edge2, start2, insert_size: float):
@@ -223,65 +241,210 @@ def pair_info_sharded(g, edge1, start1, edge2, start2, insert_size: float):
     return e1, e2, d
 
 
-def _votes_shard_body(codes, lengths, n_mask, index_words, index_edge,
-                      index_off, index_strand, conj, e_len, e_off,
-                      k: int, axis: str, pool_len: int):
+def _votes_shard_body(packed_codes, packed_nmask, lengths, index_words,
+                      index_edge, index_off, index_strand, conj, e_len, e_off,
+                      k: int, L: int, axis: str, pool_pad: int):
     """Map my read shard, scatter per-position base votes, psum across the
     mesh — the MPI_SUM vote merge of MismatchCorrectionMPI
     (`hpcspades/mpi/stages/mismatch_correction_mpi.hpp`)."""
+    from ..ops.count import unpack_batch_device
+
+    codes, n_mask = unpack_batch_device(packed_codes, packed_nmask, L)
     edge, start, votes_n = _map_shard_core(
         codes, lengths, n_mask, index_words, index_edge, index_off,
         index_strand, conj, e_len, k=k, axis=axis,
     )
-    R, L = codes.shape
+    R = codes.shape[0]
     pos = start[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     mapped = (edge >= 0)[:, None]
     safe_e = jnp.clip(edge, 0, e_len.shape[0] - 1)
     inside = (pos >= 0) & (pos < e_len[safe_e][:, None]) & mapped
     valid_base = (codes < 4) & ~n_mask & (jnp.arange(L)[None, :] < lengths[:, None])
     ok = inside & valid_base
-    flat = jnp.where(ok, e_off[safe_e][:, None] + pos, pool_len)
+    flat = jnp.where(ok, e_off[safe_e][:, None] + pos, pool_pad)
     base = jnp.where(ok, codes, 0).astype(jnp.int32)
-    votes = jnp.zeros((pool_len + 1, 4), jnp.int32)
+    votes = jnp.zeros((pool_pad + 1, 4), jnp.int32)
     votes = votes.at[flat.reshape(-1), base.reshape(-1)].add(
         ok.reshape(-1).astype(jnp.int32), mode="drop"
     )
-    return jax.lax.psum(votes[:pool_len], axis)
+    return jax.lax.psum(votes[:pool_pad], axis)
 
 
-def position_votes_sharded(index, g, batch, mesh: Mesh | None = None) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def make_sharded_voter(mesh: Mesh, k: int, L: int, pool_pad: int,
+                       axis: str = "d"):
+    """Jitted multi-chip vote step (cached: a per-call jit wrapper would
+    recompile on every invocation)."""
+    body = functools.partial(
+        _votes_shard_body, k=k, L=L, axis=axis, pool_pad=pool_pad
+    )
+    shard_fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis),
+                  P(None, None), P(None), P(None), P(None), P(None),
+                  P(None), P(None)),
+        out_specs=P(None, None),
+    )
+    return jax.jit(shard_fn)
+
+
+def position_votes_sharded(index, g, batch=None, mesh: Mesh | None = None,
+                           store=None, prep=None) -> np.ndarray:
     """Multi-chip per-position base votes: (len(seq_pool), 4) int32.
 
     Same contract as `alignment.mismatch.position_votes`, computed with read
-    shards across the mesh and one psum (the distributed vote merge)."""
+    shards across the mesh and one psum per chunk (the distributed vote
+    merge of MismatchCorrectionMPI).  Accepts a single ReadBatch (`batch`)
+    or a run-wide packed ReadStore (`store`); `prep` reuses a
+    `prepare_index_device` upload.  The pool axis pads to pow2 so the
+    program shape survives graph-state changes."""
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    R = batch.codes.shape[0]
-    pad = (-R) % n_dev
-    codes = np.pad(batch.codes, ((0, pad), (0, 0)))
-    lengths = np.pad(batch.lengths, (0, pad))
-    n_mask = np.pad(batch.n_mask, ((0, pad), (0, 0)))
     pool_len = int(len(g.seq_pool))
+    pool_pad = _pow2(max(pool_len, 1))
+    if prep is None:
+        prep = prepare_index_device(index, g)
+    kmers_d, iedge_d, ioff_d, istr_d, conj_d, elen_d = prep
+    eoff = np.zeros(elen_d.shape[0], np.int32)
+    eoff[: len(g.e_off)] = g.e_off
+    eoff_d = jnp.asarray(eoff)
 
-    body = functools.partial(
-        _votes_shard_body, k=index.k, axis=axis, pool_len=pool_len
+    if store is not None:
+        chunks = [(ch.device(), ch.L, ch.n) for ch in store.chunks]
+    else:
+        pc, pn, lengths_w, L = batch.packed()
+        chunks = [((jnp.asarray(pc), jnp.asarray(pn),
+                    jnp.asarray(np.asarray(lengths_w))), L,
+                   batch.codes.shape[0])]
+
+    votes = np.zeros((pool_pad, 4), np.int64)
+    for (pc, pn, lengths), L, n in chunks:
+        rows = pc.shape[0]
+        if rows % n_dev:
+            pad = (-rows) % n_dev
+            pc = np.pad(np.asarray(pc), ((0, pad), (0, 0)))
+            pn = np.pad(np.asarray(pn), ((0, pad), (0, 0)))
+            lengths = np.pad(np.asarray(lengths), (0, pad))
+        fn = make_sharded_voter(mesh, index.k, L, pool_pad, axis)
+        v = fn(jnp.asarray(pc), jnp.asarray(pn), jnp.asarray(lengths),
+               kmers_d, iedge_d, ioff_d, istr_d, conj_d, elen_d, eoff_d)
+        votes += np.asarray(v, np.int64)
+    return votes[:pool_len].astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device-side edge index construction: the host build (pack + canonicalize +
+# 26M-row lexsort) and its ~500 MB padded upload were the dominant costs of
+# every mapping pass on big graphs; here the host pushes only the 2-bit
+# packed pool (~N/4 bytes) + per-row metadata and the index is extracted,
+# canonicalized and sorted IN HBM (the index role of the reference's
+# edge_position_index.hpp, built the TPU way).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "P"))
+def _build_index_device_jit(pool_packed, row_starts, row_lens, row_edge,
+                            row_off0, k: int, L: int, P: int):
+    """pool 2-bit packed + row plan -> sorted (words, edge, offset, strand).
+
+    Rows are L-long slices of canonical-edge regions overlapping by k-1;
+    rows never cross an edge boundary (the host row plan guarantees it).
+    Output rows are sorted by k-mer words, stable in pool order (so the
+    binary search's leftmost-equal hit matches the host index's keep-first
+    dedup); invalid rows become all-ones sentinels at the end."""
+    from ..core import kmers as KK
+
+    N4 = pool_packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    pool = ((pool_packed[:, None] >> shifts[None, :]) & 3).reshape(-1)
+    R = row_starts.shape[0]
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    gidx = jnp.clip(row_starts[:, None] + j, 0, pool.shape[0] - 1)
+    codes = pool[gidx]
+    nmask = jnp.zeros((R, L), bool)
+    canon, valid, rc = KK.canonical_windows_strand(codes, row_lens, nmask, k)
+    W = canon.shape[-1]
+    flat_valid = valid.reshape(-1)
+    planes = [canon[..., w].reshape(-1) for w in range(W)]
+    edge = jnp.broadcast_to(row_edge[:, None], (R, P)).reshape(-1)
+    off = (row_off0[:, None] + j[:, :P]).reshape(-1)
+    strand = rc.reshape(-1).astype(jnp.int32)
+    edge = jnp.where(flat_valid, edge, 0)
+    off = jnp.where(flat_valid, off, 0)
+    strand = jnp.where(flat_valid, strand, 0)
+    out = jax.lax.sort(
+        tuple(planes) + (edge, off, strand), num_keys=W, is_stable=True
     )
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(axis, None),
-                      P(None, None), P(None), P(None), P(None), P(None),
-                      P(None), P(None)),
-            out_specs=P(None, None),
-        )
+    words = jnp.stack(out[:W], axis=-1)
+    return words, out[W], out[W + 1], out[W + 2]
+
+
+def build_index_device(g, k: int | None = None, row_len: int = 8192):
+    """Build the mapping index prep tuple ON DEVICE from the graph pool.
+
+    Returns the same (kmers, edge, off, strand, conj, e_len) device tuple as
+    `prepare_index_device(build_edge_index(g), g)` — same k-mer set, same
+    leftmost-equal lookup semantics — without the host lexsort or the padded
+    index upload.  Host -> device traffic is pool/4 + O(R) bytes."""
+    k = k or g.k
+    ids = g.canonical_edge_ids()
+    step = row_len - (k - 1)
+    starts_l, lens_l, eids_l, off0_l = [], [], [], []
+    if ids.size:
+        lens = g.e_len[ids].astype(np.int64)
+        offs = g.e_off[ids].astype(np.int64)
+        keep = lens >= k
+        ids_k, offs_k, lens_k = ids[keep], offs[keep], lens[keep]
+        nrows = np.maximum((lens_k - k) // step + 1, 1)
+        total = int(nrows.sum())
+        if total:
+            e_col = np.repeat(ids_k.astype(np.int32), nrows)
+            base = np.repeat(np.cumsum(nrows) - nrows, nrows)
+            r_in_e = np.arange(total, dtype=np.int64) - base
+            off0 = r_in_e * step
+            p0 = np.repeat(offs_k, nrows) + off0
+            rl = np.minimum(row_len, np.repeat(offs_k + lens_k, nrows) - p0)
+            starts_l.append(p0.astype(np.int32))
+            lens_l.append(rl.astype(np.int32))
+            eids_l.append(e_col)
+            off0_l.append(off0.astype(np.int32))
+    if not starts_l:
+        # empty graph: one sentinel row
+        starts = np.zeros(1, np.int32)
+        rlens = np.zeros(1, np.int32)
+        eids = np.zeros(1, np.int32)
+        off0s = np.zeros(1, np.int32)
+    else:
+        starts = np.concatenate(starts_l)
+        rlens = np.concatenate(lens_l)
+        eids = np.concatenate(eids_l)
+        off0s = np.concatenate(off0_l)
+    R = len(starts)
+    Rp = _pow2(R, lo=8)
+    starts = np.pad(starts, (0, Rp - R))
+    rlens = np.pad(rlens, (0, Rp - R))          # len 0 rows -> all invalid
+    eids = np.pad(eids, (0, Rp - R))
+    off0s = np.pad(off0s, (0, Rp - R))
+
+    pool = np.asarray(g.seq_pool, np.uint8)
+    N = len(pool)
+    N4 = _pow2((N + 3) // 4, lo=64)
+    pp = np.zeros(N4 * 4, np.uint8)
+    pp[:N] = pool & 3
+    packed = (
+        pp[0::4] | (pp[1::4] << 2) | (pp[2::4] << 4) | (pp[3::4] << 6)
     )
-    votes = fn(
-        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(n_mask),
-        jnp.asarray(index.kmers), jnp.asarray(index.edge, jnp.int32),
-        jnp.asarray(index.offset, jnp.int32), jnp.asarray(index.strand, jnp.int32),
-        jnp.asarray(g.e_conj, jnp.int32), jnp.asarray(g.e_len, jnp.int32),
-        jnp.asarray(g.e_off, jnp.int32),
+    P = row_len - k + 1
+    words, edge, off, strand = _build_index_device_jit(
+        jnp.asarray(packed), jnp.asarray(starts), jnp.asarray(rlens),
+        jnp.asarray(eids), jnp.asarray(off0s), k=k, L=row_len, P=P,
     )
-    return np.asarray(votes)
+    E = len(g.e_conj)
+    E2 = _pow2(max(E, 1))
+    conj = np.zeros(E2, np.int32)
+    conj[:E] = g.e_conj
+    e_len = np.zeros(E2, np.int32)
+    e_len[:E] = g.e_len
+    return (words, edge, off, strand, jnp.asarray(conj), jnp.asarray(e_len))

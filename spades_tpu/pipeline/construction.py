@@ -19,7 +19,8 @@ from ..ops import extension as _ext
 
 
 def _count_auto(sequences, k1: int, batch_size: int,
-                timings: dict | None = None) -> "_count.KmerCounts":
+                timings: dict | None = None,
+                read_store=None) -> "_count.KmerCounts":
     """Count (k+1)-mers on the attached hardware: the multi-chip sharded
     counter (hash routing + all_to_all over ICI, `parallel/sharded_count`)
     when more than one device is visible, else the single-chip engine —
@@ -32,6 +33,10 @@ def _count_auto(sequences, k1: int, batch_size: int,
     except Exception:
         n_dev = 1
     if n_dev <= 1:
+        if read_store is not None:
+            # run-wide packed store: chunks already 2-bit packed and
+            # device-uploaded once — skip the per-K re-encode entirely
+            return _count.count_reads(read_store.chunks, k1, timings=timings)
         return _count.count_sequences(sequences, k1, batch_size=batch_size,
                                       timings=timings)
 
@@ -78,6 +83,7 @@ def construct_graph(
     early_at_clip: bool = False,
     read_length: int | None = None,
     extra_sequences=None,
+    read_store=None,
 ) -> ConstructionResult:
     """Build the condensed de Bruijn graph at odd k from a sequence iterable.
 
@@ -97,7 +103,8 @@ def construct_graph(
     if k % 2 == 0:
         raise ValueError("k must be odd")
     tm: dict = {}
-    p1 = _count_auto(sequences, k + 1, batch_size, timings=tm)
+    p1 = _count_auto(sequences, k + 1, batch_size, timings=tm,
+                     read_store=read_store)
     if min_count > 1:
         t0 = time.perf_counter()
         keep = p1.counts >= min_count

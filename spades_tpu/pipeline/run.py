@@ -99,6 +99,56 @@ def run_assembly(
     prev_contigs: list[str] = list(trusted_contigs or [])
     result: RunResult | None = None
 
+    # Run-wide packed read stores (core.reads.ReadStore): encode + 2-bit
+    # pack every read ONCE for the whole multi-K run; counting at every k
+    # and every mapping pass (gap closers, pair info, mismatch correction)
+    # consume the same chunks and their one-time device uploads — the
+    # binary read-conversion discipline of the reference
+    # (io/reads/binary_converter.hpp) applied to the TPU wire.
+    from ..core.reads import ReadStore
+    from ..io.libraries import iter_fr_libs
+
+    paired_stores = []
+    count_store = None
+    if paired_libs:
+        libs = iter_fr_libs(paired_libs)
+        for l, r, t in libs:
+            paired_stores.append(
+                (ReadStore.build(l), ReadStore.build(r, rc=True), t)
+            )
+        # reuse the mapped stores for counting when `reads` is exactly the
+        # libraries' concatenation (canonical k-mer counts are orientation-
+        # invariant, so the RC-stored right mates count identically)
+        concat_len = sum(len(l) + len(r) for l, r, _ in libs)
+        if concat_len == len(reads):
+            flat = []
+            for l, r, _ in libs:
+                flat.extend(l)
+                flat.extend(r)
+            def _same(a, b):
+                if a is b:
+                    return True
+                if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+                    return (
+                        isinstance(a, np.ndarray)
+                        and isinstance(b, np.ndarray)
+                        and a.shape == b.shape
+                        and bool((a == b).all())
+                    )
+                return a == b
+
+            probe = list(range(0, len(reads), max(1, len(reads) // 64)))
+            if all(_same(reads[i], flat[i]) for i in probe) and (
+                not reads or _same(reads[-1], flat[-1])
+            ):
+                chunks = []
+                for st1, st2rc, _ in paired_stores:
+                    chunks.extend(st1.chunks)
+                    chunks.extend(st2rc.chunks)
+                count_store = ReadStore(chunks, concat_len)
+    if count_store is None and reads:
+        count_store = ReadStore.build(reads)
+
     # restart addressing: "k<K>:<stage>", bare "<stage>" (first K), or "last"
     restart_k = None
     restart_stage = restart_from
@@ -123,6 +173,8 @@ def run_assembly(
         )
         ctx.hmm_profiles = hmm_profiles or []
         ctx.config_overlay = config_overlay
+        ctx.read_store = count_store
+        ctx.paired_stores = paired_stores
         mgr = StageManager(SavesPolicy(checkpoints))
         if assembly_graph and ki == len(k_list) - 1:
             # start from a GFA graph (load_graph.cpp / --assembly-graph)

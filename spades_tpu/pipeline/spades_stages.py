@@ -53,6 +53,7 @@ class Construction(AssemblyStage):
             early_at_clip=self.early_at_clip,
             read_length=ctx.read_length,
             extra_sequences=extras,
+            read_store=ctx.read_store,
         )
         ctx.graph = res.graph
         ctx.p1_counts = res.p1_counts
@@ -223,11 +224,21 @@ class GapClosing(AssemblyStage):
         self.label = label
 
     def run(self, ctx: AssemblyContext) -> None:
-        if not ctx.paired or ctx.graph is None or ctx.graph.num_edges < 2:
+        if not (ctx.paired or ctx.paired_stores) or ctx.graph is None \
+                or ctx.graph.num_edges < 2:
             return
         from ..alignment.gap_closer import close_gaps
 
-        n = close_gaps(ctx.graph, ctx.paired)
+        if ctx.paired_stores:
+            n = close_gaps(
+                ctx.graph,
+                engine=ctx.mapping_engine(),
+                paired_stores=ctx.paired_stores,
+            )
+        else:
+            n = close_gaps(ctx.graph, ctx.paired)
+        if n:
+            ctx.invalidate_mapping()
         log.info("gap closer (%s): closed %d gaps", self.label, n)
 
 
@@ -320,11 +331,19 @@ class MismatchCorrection(AssemblyStage):
     id = "mismatch_correction"
 
     def run(self, ctx: AssemblyContext) -> None:
-        if ctx.graph is None or ctx.graph.num_edges == 0 or not ctx.reads:
+        if ctx.graph is None or ctx.graph.num_edges == 0 \
+                or not (ctx.reads or ctx.read_store):
             return
         from ..alignment.mismatch import correct_mismatches
 
-        n = correct_mismatches(ctx.graph, ctx.reads)
+        if ctx.read_store is not None:
+            n = correct_mismatches(ctx.graph, store=ctx.read_store,
+                                   engine=ctx.mapping_engine())
+        else:
+            n = correct_mismatches(ctx.graph, ctx.reads)
+        if n:
+            # sequences rewritten in place: cached edge index is stale
+            ctx.invalidate_mapping()
         log.info("mismatch correction: %d bases fixed", n)
 
 
@@ -521,14 +540,18 @@ class PairInfoCount(AssemblyStage):
     id = "pair_info_count"
 
     def run(self, ctx: AssemblyContext) -> None:
+        ctx.raw_pair_libs = []
+        if not (ctx.paired or ctx.paired_stores) or ctx.graph is None \
+                or ctx.graph.num_edges == 0:
+            log.info("no paired libraries — skipping pair info count")
+            return
+        if ctx.paired_stores:
+            self._run_stores(ctx)
+            return
         from ..alignment.mapper import build_edge_index, map_read_batch
         from ..io.libraries import iter_fr_libs
         from ..paired.paired_info import build_paired_index, estimate_insert_size
 
-        ctx.raw_pair_libs = []
-        if not ctx.paired or ctx.graph is None or ctx.graph.num_edges == 0:
-            log.info("no paired libraries — skipping pair info count")
-            return
         idx = build_edge_index(ctx.graph)
         for r1s, r2s, lib_type in iter_fr_libs(ctx.paired):
             m1 = map_read_batch(idx, ctx.graph, r1s, kmer_mapper=ctx.kmer_mapper)
@@ -545,6 +568,41 @@ class PairInfoCount(AssemblyStage):
             raw = build_paired_index(
                 ctx.graph, m1, m2, [len(r) for r in r2s], st.median
             )
+            ctx.raw_pair_libs.append((lib_type, raw, st))
+
+    def _run_stores(self, ctx: AssemblyContext) -> None:
+        """Packed-store path: shared MappingEngine + vectorized array
+        builders (no per-pair Python loop, no re-encoding).
+
+        The right mate is stored reverse-complemented (forward strand), so
+        its mapping relates to the original read2's as
+        edge = conj(edge_rc), start = len(edge) - (start_rc + rl); the
+        array builders below consume the original-orientation convention."""
+        from ..paired.paired_info import (
+            build_paired_index_arrays,
+            estimate_insert_size_arrays,
+        )
+
+        g = ctx.graph
+        engine = ctx.mapping_engine()
+        for st1, st2rc, lib_type in ctx.paired_stores:
+            e1, s1, _ = engine.map_store(st1, kmer_mapper=ctx.kmer_mapper)
+            e2r, s2r, _ = engine.map_store(st2rc, kmer_mapper=ctx.kmer_mapper)
+            # convert the RC-mate mapping back to original-read2 orientation:
+            # rc(read2) maps at (e, s) => read2 maps at (conj e, L - k_nt...)
+            rl2 = np.concatenate([ch.lengths[: ch.n] for ch in st2rc.chunks])
+            ok2 = e2r >= 0
+            e2 = np.where(ok2, np.asarray(g.e_conj)[np.maximum(e2r, 0)], -1)
+            L2 = np.asarray(g.e_len)[np.maximum(e2, 0)]
+            s2 = np.where(ok2, L2 - (s2r + rl2[: len(e2r)]), 0)
+            st = estimate_insert_size_arrays(g, e1, s1, e2, s2, rl2)
+            log.info(
+                "%s library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
+                lib_type, int((e1 >= 0).sum()), st.median, st.mad, st.count,
+            )
+            if st.count == 0 or st.median <= 0:
+                continue
+            raw = build_paired_index_arrays(g, e1, s1, e2, s2, st.median)
             ctx.raw_pair_libs.append((lib_type, raw, st))
 
 

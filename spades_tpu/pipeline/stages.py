@@ -67,9 +67,40 @@ class AssemblyContext:
     mp_index: Any = None                                # clustered mate-pair index
     is_stats: Any = None                                # InsertSizeStats of the PE libs
     config: Any = None
+    # Run-wide packed read store (core.reads.ReadStore): reads encoded +
+    # 2-bit packed ONCE for the whole multi-K run (the binary_converter.hpp
+    # discipline); `paired_stores` holds (left_store, right_rc_store,
+    # lib_type) per FR library with the right mate pre-reverse-complemented.
+    read_store: Any = None
+    paired_stores: list = field(default_factory=list)
+    _me: Any = None                                     # cached MappingEngine
+    _me_token: Any = None
 
     def saves_dir(self, stage_id: str) -> str:
         return os.path.join(self.output_dir, "saves", stage_id)
+
+    def mapping_engine(self):
+        """Shared per-graph-state MappingEngine (EdgeIndex built + uploaded
+        once, reused by gap closing / pair info / mismatch correction).
+
+        The cache key tracks graph identity and cheap shape/topology
+        signatures; stages that rewrite sequences in place must call
+        `invalidate_mapping()` explicitly."""
+        from ..alignment.mapper import MappingEngine
+
+        g = self.graph
+        token = (
+            len(g.e_len), int(g.alive.sum()), int(len(g.seq_pool)),
+            int(g.e_len.sum()),
+        )
+        if self._me is None or self._me.g is not g or self._me_token != token:
+            self._me = MappingEngine(g)
+            self._me_token = token
+        return self._me
+
+    def invalidate_mapping(self) -> None:
+        self._me = None
+        self._me_token = None
 
 
 class AssemblyStage:

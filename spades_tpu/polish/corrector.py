@@ -287,7 +287,21 @@ def polish_contigs(
                 lengths[j] = len(e)
             cids, starts, revs = _map_reads(index, codes, lengths)
             _vote_batch(votes, lens, cids, starts, revs, codes, lengths)
-            mapped.append((cids, starts, revs, codes, lengths))
+            # keep ONLY mapped rows, 2-bit packed: storing every batch's raw
+            # padded matrix made peak memory scale with the whole read set
+            # (ADVICE r4) — this keeps the bucketed bounded-memory contract
+            rows = np.flatnonzero(cids >= 0)
+            if rows.size:
+                sub = codes[rows]
+                pad = (-sub.shape[1]) % 4
+                if pad:
+                    sub = np.pad(sub, ((0, 0), (0, pad)))
+                packed = (
+                    sub[:, 0::4] | (sub[:, 1::4] << 2)
+                    | (sub[:, 2::4] << 4) | (sub[:, 3::4] << 6)
+                )
+                mapped.append((cids[rows], starts[rows], revs[rows],
+                               packed, lengths[rows], codes.shape[1]))
 
         for bi, ci in enumerate(bucket):
             seq_codes = codes_list[bi].copy()
@@ -308,16 +322,21 @@ def polish_contigs(
             # weighted positional reads over interesting positions
             if mask.any():
                 wr_pos, wr_var = [], []
-                for cids, starts, revs, codes, lengths in mapped:
+                for cids, starts, revs, packed, lengths, Lb in mapped:
                     rows = np.flatnonzero(cids == bi)
-                    for r in rows:
+                    if rows.size == 0:
+                        continue
+                    shifts = np.arange(4, dtype=np.uint8) * 2
+                    codes = ((packed[rows][:, :, None] >> shifts[None, None, :]) & 3)
+                    codes = codes.reshape(rows.size, -1)[:, :Lb].astype(np.uint8)
+                    for ri, r in enumerate(rows):
                         st, rv, rl = int(starts[r]), bool(revs[r]), int(lengths[r])
                         if not rv:
                             gpos = st + np.arange(rl)
-                            base = codes[r, :rl]
+                            base = codes[ri, :rl]
                         else:
                             gpos = st - np.arange(rl)
-                            base = NT_COMP[codes[r, :rl]]
+                            base = NT_COMP[codes[ri, :rl]]
                         ok = (gpos >= 0) & (gpos < len(seq_codes))
                         gi = gpos[ok]
                         bs = base[ok]

@@ -63,12 +63,12 @@ def _correct_from_sam(recs, sam_path):
     SAM SEQ is already reference-strand, so votes are a direct CIGAR walk."""
     import numpy as np
 
-    from ..io.sam import read_sam
+    from ..io.sam import read_alignments
 
     name_to_idx = {rec.name.split()[0]: i for i, rec in enumerate(recs)}
     base_idx = {"A": 0, "C": 1, "G": 2, "T": 3}
     votes = [np.zeros((len(r.seq), 4), np.int64) for r in recs]
-    for a in read_sam(sam_path):
+    for a in read_alignments(sam_path):
         if a.is_unmapped or a.rname not in name_to_idx:
             continue
         v = votes[name_to_idx[a.rname]]

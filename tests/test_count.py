@@ -122,3 +122,42 @@ class TestChopSequences:
         assert all(b.codes.size <= 120_000 for b in batches)
         # rows are padded to a multiple of 8; count real reads by length
         assert sum(int((b.lengths > 0).sum()) for b in batches) == 51
+
+
+class TestDeviceRunStack:
+    """Device-resident run merging (`DeviceRunStack`): per-batch unique runs
+    stay on device and merge in HBM; the host pulls one final table."""
+
+    def test_matches_host_oracle(self, rng, monkeypatch):
+        # force every batch through the device path
+        monkeypatch.setenv("SPADES_HOST_COUNT_WINDOWS", "0")
+        from spades_tpu.core.reads import batch_iter, chop_sequences
+
+        k = 23
+        seqs = [random_dna(rng, 120) for _ in range(300)]
+        seqs += seqs[:60]                       # duplicate reads
+        seqs[5] = seqs[5][:40] + "N" * 5 + seqs[5][45:]
+        batches = list(batch_iter(chop_sequences(seqs, k), batch_size=64))
+        host = C.merge_counts(
+            [C.count_batch_host(b.codes, b.lengths, b.n_mask, k) for b in batches]
+        )
+        tm = {}
+        dev = C.count_reads(
+            batch_iter(chop_sequences(seqs, k), batch_size=64), k, timings=tm
+        )
+        assert dev.num_unique == host.num_unique
+        assert np.array_equal(dev.words, host.words)
+        assert np.array_equal(dev.counts, host.counts)
+        # the device path was actually taken: batches counted, no host runs
+        assert tm["n_batches"] == len(batches)
+        assert tm["host_s"] == 0.0
+
+    def test_pow2_capacity_quantization(self):
+        assert C._pow2ceil(1) == 4096
+        assert C._pow2ceil(4096) == 4096
+        assert C._pow2ceil(4097) == 8192
+        assert C._pow2ceil(5_000_000) == 1 << 23
+
+    def test_empty_and_single_run(self):
+        st = C.DeviceRunStack(21)
+        assert st.finish().num_unique == 0

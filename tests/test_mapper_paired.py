@@ -101,3 +101,73 @@ class TestPairedIndex:
         assert mask.any()
         best = np.argmax(ci.weight[mask])
         assert abs(ci.dist[mask][best]) <= 2
+
+
+class TestArrayBuilders:
+    """Vectorized array-based insert-size / paired-index builders must match
+    the per-pair list versions (`paired_info.py`)."""
+
+    def _mapped_pair_fixture(self, rng):
+        from spades_tpu.pipeline.construction import construct_graph
+
+        genome = random_dna(rng, 3000)
+        g = construct_graph([genome], 21).graph
+        from spades_tpu.alignment.mapper import build_edge_index, map_read_batch
+
+        idx = build_edge_index(g)
+        rl, isize = 100, 400
+        r1s, r2s = [], []
+        for _ in range(300):
+            a = int(rng.integers(0, len(genome) - isize))
+            r1s.append(genome[a : a + rl])
+            frag = genome[a + isize - rl : a + isize]
+            r2s.append(frag[::-1].translate(str.maketrans("ACGT", "TGCA")))
+        m1 = map_read_batch(idx, g, r1s)
+        m2 = map_read_batch(idx, g, r2s)
+        return g, m1, m2, rl
+
+    def test_equivalence(self, rng):
+        from spades_tpu.paired.paired_info import (
+            build_paired_index,
+            build_paired_index_arrays,
+            estimate_insert_size,
+            estimate_insert_size_arrays,
+        )
+
+        g, m1, m2, rl = self._mapped_pair_fixture(rng)
+        e1 = np.array([m.edge if m else -1 for m in m1], np.int64)
+        s1 = np.array([m.start_offset if m else 0 for m in m1], np.int64)
+        e2 = np.array([m.edge if m else -1 for m in m2], np.int64)
+        s2 = np.array([m.start_offset if m else 0 for m in m2], np.int64)
+        st_list = estimate_insert_size(g, m1, m2, [rl] * len(m1), [rl] * len(m2))
+        st_arr = estimate_insert_size_arrays(g, e1, s1, e2, s2, rl)
+        assert st_list.count == st_arr.count
+        assert st_list.median == st_arr.median
+        assert st_list.mad == st_arr.mad
+        pi_list = build_paired_index(g, m1, m2, [rl] * len(m2), st_list.median)
+        pi_arr = build_paired_index_arrays(g, e1, s1, e2, s2, st_list.median)
+        assert np.array_equal(pi_list.e1, pi_arr.e1)
+        assert np.array_equal(pi_list.e2, pi_arr.e2)
+        assert np.array_equal(pi_list.dist, pi_arr.dist)
+        assert np.array_equal(pi_list.weight, pi_arr.weight)
+
+    def test_rc_store_orientation_roundtrip(self, rng):
+        """Mapping rc(read2) and converting back must equal mapping read2."""
+        from spades_tpu.alignment.mapper import build_edge_index, map_read_batch
+        from spades_tpu.pipeline.construction import construct_graph
+
+        genome = random_dna(rng, 2000)
+        g = construct_graph([genome], 21).graph
+        idx = build_edge_index(g)
+        rl = 90
+        r2s = [genome[a : a + rl] for a in rng.integers(0, len(genome) - rl, 50)]
+        r2rc = [s[::-1].translate(str.maketrans("ACGT", "TGCA")) for s in r2s]
+        m_direct = map_read_batch(idx, g, r2s)
+        m_rc = map_read_batch(idx, g, r2rc)
+        for md, mr in zip(m_direct, m_rc):
+            if md is None or mr is None:
+                continue
+            e2 = int(g.e_conj[mr.edge])
+            s2 = int(g.e_len[mr.edge]) - (mr.start_offset + rl)
+            assert e2 == md.edge
+            assert s2 == md.start_offset

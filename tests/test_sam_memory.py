@@ -75,3 +75,49 @@ class TestMemory:
         b = suggest_batch_size(100, 21, hbm_budget_bytes=1 << 30)
         assert 1024 <= b
         assert suggest_batch_size(100, 21, hbm_budget_bytes=1 << 20) == 1024
+
+
+class TestBam:
+    """BAM round-trip + dispatcher (reference: io/sam/bam_parser.cpp)."""
+
+    def _records(self):
+        from spades_tpu.io.sam import SamRecord
+
+        return [
+            SamRecord(qname="r1", flag=0, rname="e1", pos=5, mapq=60,
+                      cigar="10M2I8M", seq="ACGTACGTACGGTTACGTAC", tags={}),
+            SamRecord(qname="r2", flag=16, rname="e2", pos=1, mapq=0,
+                      cigar="20M", seq="A" * 20, tags={}),
+            SamRecord(qname="u1", flag=4, rname="*", pos=0, mapq=0,
+                      cigar="*", seq="ACGTN", tags={}),
+        ]
+
+    def test_roundtrip(self, tmp_path):
+        from spades_tpu.io.sam import read_bam, write_bam
+
+        path = str(tmp_path / "x.bam")
+        refs = [("e1", 100), ("e2", 50)]
+        recs = self._records()
+        write_bam(path, refs, recs)
+        back = list(read_bam(path))
+        assert len(back) == len(recs)
+        for a, b in zip(recs, back):
+            assert (a.qname, a.flag, a.rname, a.pos, a.mapq, a.cigar, a.seq) \
+                == (b.qname, b.flag, b.rname, b.pos, b.mapq, b.cigar, b.seq)
+        # aligned_pairs walks identically
+        assert back[0].aligned_pairs() == recs[0].aligned_pairs()
+
+    def test_dispatcher(self, tmp_path):
+        from spades_tpu.io.sam import read_alignments, write_bam, write_sam
+
+        refs = [("e1", 100), ("e2", 50)]
+        recs = self._records()
+        bam = str(tmp_path / "a.bam")
+        sam = str(tmp_path / "a.sam")
+        write_bam(bam, refs, recs)
+        write_sam(sam, refs, recs)
+        rb = list(read_alignments(bam))
+        rs = list(read_alignments(sam))
+        assert [r.qname for r in rb] == [r.qname for r in rs] == ["r1", "r2", "u1"]
+        assert rb[1].is_reverse and rs[1].is_reverse
+        assert rb[2].is_unmapped
