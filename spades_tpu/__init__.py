@@ -47,4 +47,23 @@ def _enable_persistent_compile_cache() -> None:
         pass
 
 
+def _apply_platform_override() -> None:
+    """SPADES_TPU_PLATFORM=cpu|tpu|axon pins the JAX platform even when the
+    environment force-registers an accelerator backend (some launchers pin
+    JAX_PLATFORMS before user code runs, so the standard env var cannot
+    win); used to run CLIs on CPU while a device job owns the chip."""
+    import os
+
+    plat = os.environ.get("SPADES_TPU_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # noqa: BLE001 — never fatal
+        pass
+
+
 _enable_persistent_compile_cache()
+_apply_platform_override()

@@ -113,11 +113,15 @@ def _collect_votes(
     direct = ok & de_mask[ea_c] & ds_mask[eb_c]
     direct &= (g.e_len[ea_c] - sa_arr) <= cfg.max_tip_scan
     direct &= sb_arr <= cfg.max_tip_scan
-    # conjugate pairing: conj(b) .. conj(a) on the other strand
+    # conjugate pairing: conj(b) .. conj(a) on the other strand.  Both mates
+    # must sit near their tips, symmetric with the direct branch (the
+    # reference checks both sides too, gap_closer.cpp:380-420; the one-sided
+    # check also admitted mid-edge left mates, overcounting votes)
     eac = g.e_conj[ea_c]
     ebc = g.e_conj[eb_c]
     conj = ok & de_mask[ebc] & ds_mask[eac]
     conj &= (g.e_len[ebc] - (g.e_len[eb_c] - sb_arr - 1)) <= cfg.max_tip_scan
+    conj &= (g.e_len[ea_c] - sa_arr) <= cfg.max_tip_scan
     for m, k1, k2 in ((direct, ea_c, eb_c), (conj, ebc, eac)):
         idx = np.flatnonzero(m)
         if idx.size == 0:
@@ -128,6 +132,30 @@ def _collect_votes(
             pair = (int(u) // len(g.e_len), int(u) % len(g.e_len))
             votes[pair] = votes.get(pair, 0) + int(c)
     return votes
+
+
+def _tip_region_words(g: CondensedGraph, dead_end: set, dead_start: set,
+                      T: int) -> np.ndarray:
+    """Sorted unique canonical k-mer rows of all tip-adjacent regions:
+    dead-end edges' last T nt + dead-start edges' first T nt (canonical
+    windows cover the conjugate orientations for free)."""
+    from ..ops import count as C
+
+    regions: list[np.ndarray] = []
+    for e in dead_end:
+        c = g.edge_codes(int(e))
+        regions.append(np.ascontiguousarray(c[-T:]))
+    for e in dead_start:
+        c = g.edge_codes(int(e))
+        regions.append(np.ascontiguousarray(c[:T]))
+    if not regions:
+        from ..core import kmers as KK
+
+        return np.zeros((0, KK.kmer_words(g.k)), np.uint32)
+    # count_sequences routes small region sets to the host counter and big
+    # ones (graphs with many dead ends) to the device engine
+    kc = C.count_sequences(regions, g.k)
+    return kc.words
 
 
 def close_gaps(
@@ -167,9 +195,32 @@ def close_gaps(
             from .mapper import MappingEngine
 
             engine = MappingEngine(g, index=index, mesh=mesh)
+        from ..core.reads import subset_store
+        from ..parallel.sharded_mapping import hit_filter_store
+
+        # Device prefilter: a qualifying pair needs BOTH mates' windows
+        # inside tip-adjacent regions (dead-end suffixes / dead-start
+        # prefixes — canonical k-mers cover both orientations), so only
+        # candidate reads pay the full-index mapping (VERDICT r4 item 2;
+        # on gapless datasets this skips ~all of the mapping work).
+        # a qualifying mate's ON-EDGE windows all start within max_tip_scan
+        # of its tip (see _collect_votes bounds), so T = scan + k covers them
+        tipw = _tip_region_words(g, dead_end, dead_start,
+                                 cfg.max_tip_scan + g.k + 1)
+        if tipw.shape[0] == 0:
+            return 0
         for st1, st2rc, _lib_type in paired_stores:
-            e1a, s1a, _ = engine.map_store(st1)
-            e2a, s2a, _ = engine.map_store(st2rc)
+            h1 = hit_filter_store(st1, tipw, g.k, mesh=engine.mesh)
+            h2 = hit_filter_store(st2rc, tipw, g.k, mesh=engine.mesh)
+            cand = np.flatnonzero(h1 & h2)
+            log.info("gap closer prefilter: %d/%d candidate pairs",
+                     cand.size, st1.n)
+            if cand.size == 0:
+                continue
+            sub1 = subset_store(st1, cand)
+            sub2 = subset_store(st2rc, cand)
+            e1a, s1a, _ = engine.map_store(sub1, force_device=True)
+            e2a, s2a, _ = engine.map_store(sub2, force_device=True)
             for pair, c in _collect_votes(
                 g, e1a, s1a, e2a, s2a, dead_end, dead_start, cfg
             ).items():

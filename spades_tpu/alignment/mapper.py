@@ -152,7 +152,7 @@ class MappingEngine:
                 self._prep = prepare_index_device(self.index, self.g)
         return self._prep
 
-    def map_store(self, store, kmer_mapper=None):
+    def map_store(self, store, kmer_mapper=None, force_device: bool = False):
         """Map every read of a ReadStore.  Returns (edge, start, votes)
         int64/int32 numpy arrays of length store.n (edge == -1 unmapped).
 
@@ -162,7 +162,7 @@ class MappingEngine:
         import os
 
         thresh = int(os.environ.get("SPADES_DEVICE_MAP_READS", 200_000))
-        use_device = store.n >= thresh
+        use_device = force_device or store.n >= thresh
         edge = np.full(store.n, -1, np.int64)
         start = np.zeros(store.n, np.int64)
         votes = np.zeros(store.n, np.int64)
@@ -195,12 +195,42 @@ class MappingEngine:
                         edge[i], start[i], votes[i] = m.edge, m.start_offset, m.n_hits
         return edge, start, votes
 
-    def _map_chunk_device(self, ch):
+    def _map_chunk_device(self, ch, sub: int = 65536):
+        """Map one store chunk in fixed sub-slices (static shapes; bounded
+        HBM peak — a full 262k-read chunk's window tensors peaked several GB
+        next to the resident index and OOM'd v5e).  On RESOURCE_EXHAUSTED
+        the sub-slice halves and retries; only non-memory errors escape to
+        the host fallback."""
         from ..parallel.sharded_mapping import map_packed_sharded
 
         pc, pn, lengths = ch.device()
-        return map_packed_sharded(self._device_index(), self._k,
-                                  pc, pn, lengths, ch.L, ch.n, self.mesh)
+        R = pc.shape[0]
+        prep = self._device_index()
+        while True:
+            try:
+                outs = []
+                for a in range(0, R, sub):
+                    b = min(a + sub, R)
+                    n_rows = b - a
+                    outs.append(map_packed_sharded(
+                        prep, self._k, pc[a:b], pn[a:b], lengths[a:b],
+                        ch.L, n_rows, self.mesh,
+                    ))
+                break
+            except Exception as exc:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" in str(exc) and sub > 8192:
+                    import logging
+
+                    logging.getLogger("spades_tpu.mapper").info(
+                        "mapper sub-chunk %d OOM — retrying at %d", sub, sub // 2
+                    )
+                    sub //= 2
+                    continue
+                raise
+        e = np.concatenate([o[0] for o in outs])
+        s = np.concatenate([o[1] for o in outs])
+        v = np.concatenate([o[2] for o in outs])
+        return e[: ch.n], s[: ch.n], v[: ch.n]
 
     def _map_chunk_host(self, ch, kmer_mapper):
         b = ch.unpack_host()

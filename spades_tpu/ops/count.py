@@ -247,6 +247,23 @@ def _merge_runs_device(w1, c1, w2, c2):
     return uw, uc, nu
 
 
+def _oom_retry(fn, attempts: int = 3):
+    """Run fn; on a backend ResourceExhausted, give queued frees a moment to
+    land (the tunnelled backend releases buffers asynchronously) and retry."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(exc) or i == attempts - 1:
+                raise
+            import gc
+            import time as _t
+
+            gc.collect()
+            _t.sleep(1.0 + i)
+    raise RuntimeError("unreachable")
+
+
 class DeviceRunStack:
     """LSM-style stack of device-resident sorted unique runs.
 
@@ -276,7 +293,7 @@ class DeviceRunStack:
         while len(self.stack) >= 2 and self.stack[-1][2] == self.stack[-2][2]:
             w2, c2, _, _ = self.stack.pop()
             w1, c1, _, _ = self.stack.pop()
-            mw, mc, mnu = _merge_runs_device(w1, c1, w2, c2)
+            mw, mc, mnu = _oom_retry(lambda: _merge_runs_device(w1, c1, w2, c2))
             self.stack.append(self._compact(mw, mc, int(mnu)))
         self.tm["merge_s"] = self.tm.get("merge_s", 0.0) + time.perf_counter() - t0
 
@@ -291,7 +308,7 @@ class DeviceRunStack:
         while len(self.stack) >= 2:
             w2, c2, _, _ = self.stack.pop()
             w1, c1, _, _ = self.stack.pop()
-            mw, mc, mnu = _merge_runs_device(w1, c1, w2, c2)
+            mw, mc, mnu = _oom_retry(lambda: _merge_runs_device(w1, c1, w2, c2))
             self.stack.append(self._compact(mw, mc, int(mnu)))
         self.tm["merge_s"] = self.tm.get("merge_s", 0.0) + time.perf_counter() - t0
         w, c, cap, nu = self.stack.pop()
@@ -299,17 +316,19 @@ class DeviceRunStack:
         # Chunked pull: fixed pow2 chunk shapes keep the XLA slice programs
         # cacheable (a data-dependent w[:nu] slice would compile per value);
         # at most one chunk of overhang crosses the link beyond nu rows.
-        CH = 1 << 22
+        CH = 1 << 21
         if cap <= CH:
-            words = np.asarray(w)[:nu]
-            counts = np.asarray(c)[:nu].astype(np.int64)
+            words = _oom_retry(lambda: np.asarray(w))[:nu]
+            counts = _oom_retry(lambda: np.asarray(c))[:nu].astype(np.int64)
         else:
             nch = (nu + CH - 1) // CH
             words = np.concatenate(
-                [np.asarray(w[i * CH : (i + 1) * CH]) for i in range(nch)], axis=0
+                [_oom_retry(lambda i=i: np.asarray(w[i * CH : (i + 1) * CH]))
+                 for i in range(nch)], axis=0
             )[:nu]
             counts = np.concatenate(
-                [np.asarray(c[i * CH : (i + 1) * CH]) for i in range(nch)], axis=0
+                [_oom_retry(lambda i=i: np.asarray(c[i * CH : (i + 1) * CH]))
+                 for i in range(nch)], axis=0
             )[:nu].astype(np.int64)
         self.tm["pull_s"] = self.tm.get("pull_s", 0.0) + time.perf_counter() - t0
         return KmerCounts(k=self.k, words=words, counts=counts)

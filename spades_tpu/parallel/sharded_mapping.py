@@ -319,19 +319,27 @@ def position_votes_sharded(index, g, batch=None, mesh: Mesh | None = None,
                     jnp.asarray(np.asarray(lengths_w))), L,
                    batch.codes.shape[0])]
 
-    votes = np.zeros((pool_pad, 4), np.int64)
+    votes_dev = None
+    sub = 65536  # bounded sub-slices: full-chunk window tensors OOM v5e
     for (pc, pn, lengths), L, n in chunks:
         rows = pc.shape[0]
-        if rows % n_dev:
-            pad = (-rows) % n_dev
-            pc = np.pad(np.asarray(pc), ((0, pad), (0, 0)))
-            pn = np.pad(np.asarray(pn), ((0, pad), (0, 0)))
-            lengths = np.pad(np.asarray(lengths), (0, pad))
-        fn = make_sharded_voter(mesh, index.k, L, pool_pad, axis)
-        v = fn(jnp.asarray(pc), jnp.asarray(pn), jnp.asarray(lengths),
-               kmers_d, iedge_d, ioff_d, istr_d, conj_d, elen_d, eoff_d)
-        votes += np.asarray(v, np.int64)
-    return votes[:pool_len].astype(np.int32)
+        for a in range(0, rows, sub):
+            b = min(a + sub, rows)
+            pcs, pns, ls = pc[a:b], pn[a:b], lengths[a:b]
+            if (b - a) % n_dev:
+                pad = (-(b - a)) % n_dev
+                pcs = np.pad(np.asarray(pcs), ((0, pad), (0, 0)))
+                pns = np.pad(np.asarray(pns), ((0, pad), (0, 0)))
+                ls = np.pad(np.asarray(ls), (0, pad))
+            fn = make_sharded_voter(mesh, index.k, L, pool_pad, axis)
+            v = fn(jnp.asarray(pcs), jnp.asarray(pns), jnp.asarray(ls),
+                   kmers_d, iedge_d, ioff_d, istr_d, conj_d, elen_d, eoff_d)
+            # accumulate ON DEVICE: pulling the (pool_pad, 4) tally per
+            # sub-chunk would move GBs through the tunnel
+            votes_dev = v if votes_dev is None else votes_dev + v
+    if votes_dev is None:
+        return np.zeros((pool_len, 4), np.int32)
+    return np.asarray(votes_dev)[:pool_len].astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -344,22 +352,22 @@ def position_votes_sharded(index, g, batch=None, mesh: Mesh | None = None,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "L", "P"))
-def _build_index_device_jit(pool_packed, row_starts, row_lens, row_edge,
-                            row_off0, k: int, L: int, P: int):
-    """pool 2-bit packed + row plan -> sorted (words, edge, offset, strand).
+@functools.partial(jax.jit, static_argnames=("k", "L"))
+def _extract_index_tier(pool_packed, row_starts, row_lens, row_edge,
+                        row_off0, row_ord0, k: int, L: int):
+    """One row tier: pool 2-bit packed + row plan -> FLAT window columns
+    (word planes, edge, offset, strand, host-order ordinal).
 
-    Rows are L-long slices of canonical-edge regions overlapping by k-1;
-    rows never cross an edge boundary (the host row plan guarantees it).
-    Output rows are sorted by k-mer words, stable in pool order (so the
-    binary search's leftmost-equal hit matches the host index's keep-first
-    dedup); invalid rows become all-ones sentinels at the end."""
+    Rows are <=L-long slices of canonical-edge regions overlapping by k-1
+    and never cross an edge boundary (the host row plan guarantees it).
+    Invalid (padding) windows become all-ones sentinel words with max
+    ordinal so the final sort pushes them to the tail."""
     from ..core import kmers as KK
 
-    N4 = pool_packed.shape[0]
     shifts = jnp.arange(4, dtype=jnp.uint8) * 2
     pool = ((pool_packed[:, None] >> shifts[None, :]) & 3).reshape(-1)
     R = row_starts.shape[0]
+    P = L - k + 1
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
     gidx = jnp.clip(row_starts[:, None] + j, 0, pool.shape[0] - 1)
     codes = pool[gidx]
@@ -370,81 +378,191 @@ def _build_index_device_jit(pool_packed, row_starts, row_lens, row_edge,
     planes = [canon[..., w].reshape(-1) for w in range(W)]
     edge = jnp.broadcast_to(row_edge[:, None], (R, P)).reshape(-1)
     off = (row_off0[:, None] + j[:, :P]).reshape(-1)
+    ordn = (row_ord0[:, None] + j[:, :P]).reshape(-1)
     strand = rc.reshape(-1).astype(jnp.int32)
     edge = jnp.where(flat_valid, edge, 0)
     off = jnp.where(flat_valid, off, 0)
     strand = jnp.where(flat_valid, strand, 0)
-    out = jax.lax.sort(
-        tuple(planes) + (edge, off, strand), num_keys=W, is_stable=True
-    )
+    ordn = jnp.where(flat_valid, ordn, jnp.int32(2**31 - 1))
+    return tuple(planes) + (edge, off, strand, ordn)
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _sort_index_jit(cols, W: int):
+    """Flat window columns -> sorted index arrays.  The host-order ordinal is
+    the (W+1)-th sort key, so duplicate k-mers order exactly like the host
+    build's stable lexsort over its edge-major concatenation — the binary
+    search's leftmost-equal hit picks the same occurrence."""
+    planes = cols[:W]
+    edge, off, strand, ordn = cols[W], cols[W + 1], cols[W + 2], cols[W + 3]
+    out = jax.lax.sort(planes + (ordn, edge, off, strand), num_keys=W + 1)
     words = jnp.stack(out[:W], axis=-1)
-    return words, out[W], out[W + 1], out[W + 2]
+    return words, out[W + 1], out[W + 2], out[W + 3]
 
 
-def build_index_device(g, k: int | None = None, row_len: int = 8192):
+INDEX_ROW_TIERS = (256, 2048, 8192)
+
+
+def build_index_device(g, k: int | None = None):
     """Build the mapping index prep tuple ON DEVICE from the graph pool.
 
     Returns the same (kmers, edge, off, strand, conj, e_len) device tuple as
     `prepare_index_device(build_edge_index(g), g)` — same k-mer set, same
     leftmost-equal lookup semantics — without the host lexsort or the padded
-    index upload.  Host -> device traffic is pool/4 + O(R) bytes."""
+    index upload.  Host -> device traffic is pool/4 + O(rows) bytes.
+
+    Edges are binned into row-length TIERS (256/2048/8192): one fixed row
+    length would pad every short edge to it, and a post-simplification graph
+    with ~50k short edges exploded 11M real windows into 540M padded ones
+    (a genuine HBM OOM).  Each tier extracts flat window columns; one global
+    sort (host-order ordinal as tiebreak) produces the index."""
     k = k or g.k
     ids = g.canonical_edge_ids()
-    step = row_len - (k - 1)
-    starts_l, lens_l, eids_l, off0_l = [], [], [], []
-    if ids.size:
-        lens = g.e_len[ids].astype(np.int64)
-        offs = g.e_off[ids].astype(np.int64)
-        keep = lens >= k
-        ids_k, offs_k, lens_k = ids[keep], offs[keep], lens[keep]
-        nrows = np.maximum((lens_k - k) // step + 1, 1)
-        total = int(nrows.sum())
-        if total:
-            e_col = np.repeat(ids_k.astype(np.int32), nrows)
-            base = np.repeat(np.cumsum(nrows) - nrows, nrows)
-            r_in_e = np.arange(total, dtype=np.int64) - base
-            off0 = r_in_e * step
-            p0 = np.repeat(offs_k, nrows) + off0
-            rl = np.minimum(row_len, np.repeat(offs_k + lens_k, nrows) - p0)
-            starts_l.append(p0.astype(np.int32))
-            lens_l.append(rl.astype(np.int32))
-            eids_l.append(e_col)
-            off0_l.append(off0.astype(np.int32))
-    if not starts_l:
-        # empty graph: one sentinel row
-        starts = np.zeros(1, np.int32)
-        rlens = np.zeros(1, np.int32)
-        eids = np.zeros(1, np.int32)
-        off0s = np.zeros(1, np.int32)
-    else:
-        starts = np.concatenate(starts_l)
-        rlens = np.concatenate(lens_l)
-        eids = np.concatenate(eids_l)
-        off0s = np.concatenate(off0_l)
-    R = len(starts)
-    Rp = _pow2(R, lo=8)
-    starts = np.pad(starts, (0, Rp - R))
-    rlens = np.pad(rlens, (0, Rp - R))          # len 0 rows -> all invalid
-    eids = np.pad(eids, (0, Rp - R))
-    off0s = np.pad(off0s, (0, Rp - R))
-
     pool = np.asarray(g.seq_pool, np.uint8)
     N = len(pool)
     N4 = _pow2((N + 3) // 4, lo=64)
     pp = np.zeros(N4 * 4, np.uint8)
     pp[:N] = pool & 3
-    packed = (
+    packed = jnp.asarray(
         pp[0::4] | (pp[1::4] << 2) | (pp[2::4] << 4) | (pp[3::4] << 6)
     )
-    P = row_len - k + 1
-    words, edge, off, strand = _build_index_device_jit(
-        jnp.asarray(packed), jnp.asarray(starts), jnp.asarray(rlens),
-        jnp.asarray(eids), jnp.asarray(off0s), k=k, L=row_len, P=P,
-    )
+
     E = len(g.e_conj)
     E2 = _pow2(max(E, 1))
     conj = np.zeros(E2, np.int32)
     conj[:E] = g.e_conj
     e_len = np.zeros(E2, np.int32)
     e_len[:E] = g.e_len
-    return (words, edge, off, strand, jnp.asarray(conj), jnp.asarray(e_len))
+    conj_d, elen_d = jnp.asarray(conj), jnp.asarray(e_len)
+
+    W = K.kmer_words(k)
+    if ids.size == 0:
+        sent = jnp.full((8, W), 0xFFFFFFFF, jnp.uint32)
+        z = jnp.zeros(8, jnp.int32)
+        return (sent, z, z, z, conj_d, elen_d)
+
+    lens = g.e_len[ids].astype(np.int64)
+    offs = g.e_off[ids].astype(np.int64)
+    keep = lens >= k
+    ids_k, offs_k, lens_k = ids[keep], offs[keep], lens[keep]
+    # host-order ordinal base per edge: the host index concatenates windows
+    # edge-major in canonical-id order
+    nwin = np.maximum(lens_k - k + 1, 0)
+    ord_base = np.cumsum(nwin) - nwin
+
+    cols = None
+    tiers = list(INDEX_ROW_TIERS)
+    for ti, L in enumerate(tiers):
+        step = L - (k - 1)
+        if ti + 1 < len(tiers):
+            sel = (lens_k <= L) if ti == 0 else \
+                  (lens_k > tiers[ti - 1]) & (lens_k <= L)
+        else:
+            sel = lens_k > tiers[ti - 1]
+        if not sel.any():
+            continue
+        s_ids, s_offs, s_lens = ids_k[sel], offs_k[sel], lens_k[sel]
+        s_ord = ord_base[sel]
+        nrows = np.maximum((s_lens - k) // step + 1, 1)
+        total = int(nrows.sum())
+        e_col = np.repeat(s_ids.astype(np.int32), nrows)
+        base = np.repeat(np.cumsum(nrows) - nrows, nrows)
+        r_in_e = np.arange(total, dtype=np.int64) - base
+        off0 = r_in_e * step
+        p0 = np.repeat(s_offs, nrows) + off0
+        rl = np.minimum(L, np.repeat(s_offs + s_lens, nrows) - p0)
+        ord0 = np.repeat(s_ord, nrows) + off0
+        Rp = _pow2(total, lo=8)
+        pad = Rp - total
+
+        def _p(a, fill=0):
+            return jnp.asarray(np.pad(a.astype(np.int32), (0, pad),
+                                      constant_values=fill))
+
+        tier_cols = _extract_index_tier(
+            packed, _p(p0), _p(rl), _p(e_col), _p(off0), _p(ord0), k=k, L=L,
+        )
+        cols = tier_cols if cols is None else tuple(
+            jnp.concatenate([a, b]) for a, b in zip(cols, tier_cols)
+        )
+    if cols is None:
+        sent = jnp.full((8, W), 0xFFFFFFFF, jnp.uint32)
+        z = jnp.zeros(8, jnp.int32)
+        return (sent, z, z, z, conj_d, elen_d)
+    # pad the flat columns to pow2 so the sort program shape is stable
+    n = cols[0].shape[0]
+    n_pad = _pow2(n, lo=8)
+    if n_pad != n:
+        pad = n_pad - n
+        padded = []
+        for i, a in enumerate(cols):
+            if i < W:
+                padded.append(jnp.pad(a, (0, pad), constant_values=np.uint32(0xFFFFFFFF)))
+            elif i == W + 3:
+                padded.append(jnp.pad(a, (0, pad), constant_values=2**31 - 1))
+            else:
+                padded.append(jnp.pad(a, (0, pad)))
+        cols = tuple(padded)
+    words, edge, off, strand = _sort_index_jit(cols, W=W)
+    return (words, edge, off, strand, conj_d, elen_d)
+
+
+def _hit_shard_body(packed_codes, packed_nmask, lengths, tip_words,
+                    k: int, L: int, axis: str):
+    """Per-device body: does each read have >=1 canonical window in the
+    (small, replicated) tip-region k-mer table?"""
+    from ..ops.count import unpack_batch_device
+
+    codes, n_mask = unpack_batch_device(packed_codes, packed_nmask, L)
+    R = codes.shape[0]
+    Pn = L - k + 1
+    canon, valid = K.canonical_windows(codes, lengths, n_mask, k)
+    W = canon.shape[-1]
+    flat = canon.reshape(-1, W)
+    idx = device_searchsorted_rows(tip_words, flat)
+    hit = (idx >= 0) & valid.reshape(-1)
+    return jnp.any(hit.reshape(R, Pn), axis=1)
+
+
+@functools.lru_cache(maxsize=16)
+def make_sharded_hitter(mesh: Mesh, k: int, L: int, axis: str = "d"):
+    body = functools.partial(_hit_shard_body, k=k, L=L, axis=axis)
+    shard_fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(None, None)),
+        out_specs=P(axis),
+    )
+    return jax.jit(shard_fn)
+
+
+def hit_filter_store(store, tip_words: np.ndarray, k: int,
+                     mesh: Mesh | None = None, sub: int = 65536) -> np.ndarray:
+    """(store.n,) bool: read has >=1 canonical window among tip_words.
+
+    The gap closer's device prefilter (VERDICT r4 item 2): the tip-region
+    table is tiny (fits cache), so the expensive full-index binary search
+    runs only for candidate reads afterwards."""
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    U = tip_words.shape[0]
+    U2 = _pow2(max(U, 1), lo=8)
+    tw = np.full((U2, tip_words.shape[1]), 0xFFFFFFFF, np.uint32)
+    tw[:U] = tip_words
+    tw_d = jnp.asarray(tw)
+    out = np.zeros(store.n, bool)
+    c0 = 0
+    for ch in store.chunks:
+        pc, pn, lengths = ch.device()
+        rows = pc.shape[0]
+        res = []
+        for a in range(0, rows, sub):
+            b = min(a + sub, rows)
+            pcs, pns, ls = pc[a:b], pn[a:b], lengths[a:b]
+            fn = make_sharded_hitter(mesh, k, ch.L, axis)
+            res.append(np.asarray(fn(pcs, pns, ls, tw_d)))
+        hits = np.concatenate(res)[: ch.n]
+        out[c0 : c0 + ch.n] = hits
+        c0 += ch.n
+    return out

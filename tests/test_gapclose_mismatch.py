@@ -168,3 +168,62 @@ class TestGapCloserSharded:
         sh = sorted(g_host.edge_seq(int(e)) for e in g_host.canonical_edge_ids())
         sm = sorted(g_mesh.edge_seq(int(e)) for e in g_mesh.canonical_edge_ids())
         assert sh == sm
+
+
+class TestStorePathEquivalence:
+    """The packed-store gap-closer path (device prefilter + candidate-only
+    mapping) must close exactly the same gaps as the legacy string path."""
+
+    def _fixture(self, rng):
+        from spades_tpu.core import dna
+        from spades_tpu.pipeline.construction import construct_graph
+        from tests.conftest import random_dna
+
+        # two fragments overlapping by 12 nt (< k=21, >= min_intersection=10):
+        # the dBG keeps them separate, the closer must splice them
+        gen = random_dna(rng, 700)
+        greads = [gen[s : s + 80] for s in range(0, 271, 5)]      # covers [0, 350]
+        greads += [gen[s : s + 80] for s in range(338, 621, 5)]   # covers [338, 700]
+        g1 = construct_graph(greads, 21).graph
+        g2 = construct_graph(greads, 21).graph
+        assert len(g1.canonical_edge_ids()) >= 2
+        r1 = [gen[s : s + 70] for s in range(150, 470, 5)]
+        r2 = [dna.revcomp_str(gen[s + 150 : s + 220]) for s in range(150, 470, 5)]
+        return g1, g2, r1, r2
+
+    def test_equivalence(self, rng):
+        from spades_tpu.alignment.gap_closer import close_gaps
+        from spades_tpu.alignment.mapper import MappingEngine
+        from spades_tpu.core import dna
+        from spades_tpu.core.reads import ReadStore
+
+        g1, g2, r1, r2 = self._fixture(rng)
+        n_legacy = close_gaps(g1, [(r1, r2)])
+        st1 = ReadStore.build(r1, chunk_reads=32)
+        st2rc = ReadStore.build(r2, rc=True, chunk_reads=32)
+        eng = MappingEngine(g2)
+        n_store = close_gaps(g2, engine=eng,
+                             paired_stores=[(st1, st2rc, "paired-end")])
+        assert n_legacy == n_store >= 1
+        assert sorted(g1.edge_seq(int(e)) for e in g1.canonical_edge_ids()) \
+            == sorted(g2.edge_seq(int(e)) for e in g2.canonical_edge_ids())
+
+    def test_prefilter_no_candidates_no_close(self, rng):
+        """Reads far from every tip -> zero candidates, zero closures."""
+        from spades_tpu.alignment.gap_closer import close_gaps
+        from spades_tpu.alignment.mapper import MappingEngine
+        from spades_tpu.core import dna
+        from spades_tpu.core.reads import ReadStore
+        from spades_tpu.pipeline.construction import construct_graph
+        from tests.conftest import random_dna
+
+        gen = random_dna(rng, 2000)
+        g = construct_graph([gen], 21).graph
+        # pairs entirely inside the single edge, away from its two tips
+        r1 = [gen[s : s + 70] for s in range(800, 1000, 10)]
+        r2 = [dna.revcomp_str(gen[s + 150 : s + 220]) for s in range(800, 1000, 10)]
+        st1 = ReadStore.build(r1, chunk_reads=32)
+        st2rc = ReadStore.build(r2, rc=True, chunk_reads=32)
+        n = close_gaps(g, engine=MappingEngine(g),
+                       paired_stores=[(st1, st2rc, "paired-end")])
+        assert n == 0
