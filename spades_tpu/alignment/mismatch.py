@@ -68,7 +68,14 @@ def correct_mismatches(g: CondensedGraph, reads: list[str] | None = None,
     mismatch_correction_mpi.hpp`: read shards per rank, vote allreduce,
     fixes applied on the master); `engine` reuses a shared MappingEngine's
     index + device upload.  The legacy string-list path stays for
-    tools/tests."""
+    tools/tests.
+
+    Known divergence (documented per ADVICE r4): the sharded vote path does
+    not apply the kmer-mapper projection, so reads whose every anchor was
+    glued away during simplification cast no votes here (the host path
+    would recover a small minority of them via projection).  Votes are a
+    consensus over ~coverage-many reads per position, so dropping that
+    sliver cannot flip a majority that the dominance threshold accepts."""
     cfg = MismatchConfig()
     if g.num_edges == 0 or not (reads or store):
         return 0

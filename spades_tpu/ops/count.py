@@ -450,7 +450,8 @@ def merge_counts(runs: list[KmerCounts]) -> KmerCounts:
 
 
 def count_reads(batches, k: int, tile: int = 512,
-                timings: dict | None = None) -> KmerCounts:
+                timings: dict | None = None,
+                structure_batches=None) -> KmerCounts:
     """Count canonical k-mers over an iterable of ReadBatches.
 
     Each batch is fully counted ON DEVICE (`count_batch_device_unique`:
@@ -492,66 +493,86 @@ def count_reads(batches, k: int, tile: int = 512,
 
     host_runs: list[KmerCounts] = []
     dstack = DeviceRunStack(k, timings=tm)
-    for b in batches:
-        if isinstance(b, PackedChunk):
-            # run-wide read store: wire arrays already on device (uploaded
-            # once for the whole multi-K run)
-            if b.L < k or b.n == 0:
-                continue
-            if b.n * (b.L - k + 1) < host_thresh:
+
+    def _process(iterable, zero_counts: bool) -> None:
+        """Count batches into the shared device stack / host-run list.
+
+        zero_counts=True is the structure-only stream (prev-K / trusted
+        contigs, stages/construction.cpp:110,233): their k-mers join the
+        merged table but contribute NOTHING to coverage — zeroed counts make
+        the single fused merge produce exactly the reads-only coverage with
+        structure rows at 0."""
+        nonlocal first_device
+        for b in iterable:
+            if isinstance(b, PackedChunk):
+                # run-wide read store: wire arrays already on device
+                # (uploaded once for the whole multi-K run)
+                if b.L < k or b.n == 0:
+                    continue
+                if b.n * (b.L - k + 1) < host_thresh:
+                    t0 = time.perf_counter()
+                    hb = b.unpack_host()
+                    r = count_batch_host(
+                        hb.codes[: b.n], hb.lengths[: b.n], hb.n_mask[: b.n], k
+                    )
+                    tm["host_s"] += time.perf_counter() - t0
+                    if r.num_unique:
+                        if zero_counts:
+                            r = KmerCounts(k=r.k, words=r.words,
+                                           counts=np.zeros_like(r.counts))
+                        host_runs.append(r)
+                    continue
                 t0 = time.perf_counter()
-                hb = b.unpack_host()
-                r = count_batch_host(
-                    hb.codes[: b.n], hb.lengths[: b.n], hb.n_mask[: b.n], k
+                pc, pn, lengths = b.device()
+                uw, uc, nu = count_batch_packed_unique(
+                    pc, pn, lengths, b.L, k, use_pallas=use_pallas
                 )
-                tm["host_s"] += time.perf_counter() - t0
-                if r.num_unique:
-                    host_runs.append(r)
-                continue
-            t0 = time.perf_counter()
-            pc, pn, lengths = b.device()
-            uw, uc, nu = count_batch_packed_unique(
-                pc, pn, lengths, b.L, k, use_pallas=use_pallas
-            )
-            nu = int(nu)
-            dt = time.perf_counter() - t0
-        elif isinstance(b, ReadBatch):
-            if b.codes.shape[0] == 0 or b.codes.shape[1] < k:
-                continue
-            R, L = b.codes.shape
-            if R * (L - k + 1) < host_thresh:
+                nu = int(nu)
+                dt = time.perf_counter() - t0
+            elif isinstance(b, ReadBatch):
+                if b.codes.shape[0] == 0 or b.codes.shape[1] < k:
+                    continue
+                R, L = b.codes.shape
+                if R * (L - k + 1) < host_thresh:
+                    t0 = time.perf_counter()
+                    r = count_batch_host(b.codes, b.lengths, b.n_mask, k)
+                    tm["host_s"] += time.perf_counter() - t0
+                    if r.num_unique:
+                        if zero_counts:
+                            r = KmerCounts(k=r.k, words=r.words,
+                                           counts=np.zeros_like(r.counts))
+                        host_runs.append(r)
+                    continue
+                # packed wire: ~7x fewer bytes over the host->device link
                 t0 = time.perf_counter()
-                r = count_batch_host(b.codes, b.lengths, b.n_mask, k)
-                tm["host_s"] += time.perf_counter() - t0
-                if r.num_unique:
-                    host_runs.append(r)
+                pc, pn, lengths, L = b.packed()
+                uw, uc, nu = count_batch_packed_unique(
+                    pc, pn, lengths, L, k, use_pallas=use_pallas
+                )
+                nu = int(nu)
+                dt = time.perf_counter() - t0
+            else:
+                codes, lengths, n_mask = b
+                if codes.shape[0] == 0 or codes.shape[1] < k:
+                    continue
+                t0 = time.perf_counter()
+                uw, uc, nu = count_batch_device_unique(
+                    codes, lengths, n_mask, k, use_pallas=use_pallas
+                )
+                nu = int(nu)
+                dt = time.perf_counter() - t0
+            tm["device_s"] += dt
+            if first_device:
+                tm["device_first_s"] = dt
+                first_device = False
+            tm["n_batches"] += 1
+            if nu == 0:
                 continue
-            # packed wire format: ~7x fewer bytes over the host->device link
-            t0 = time.perf_counter()
-            pc, pn, lengths, L = b.packed()
-            uw, uc, nu = count_batch_packed_unique(
-                pc, pn, lengths, L, k, use_pallas=use_pallas
-            )
-            nu = int(nu)
-            dt = time.perf_counter() - t0
-        else:
-            codes, lengths, n_mask = b
-            if codes.shape[0] == 0 or codes.shape[1] < k:
-                continue
-            t0 = time.perf_counter()
-            uw, uc, nu = count_batch_device_unique(
-                codes, lengths, n_mask, k, use_pallas=use_pallas
-            )
-            nu = int(nu)
-            dt = time.perf_counter() - t0
-        tm["device_s"] += dt
-        if first_device:
-            tm["device_first_s"] = dt
-            first_device = False
-        tm["n_batches"] += 1
-        if nu == 0:
-            continue
-        dstack.push(uw, uc, nu)
+            dstack.push(uw, uc * 0 if zero_counts else uc, nu)
+
+    _process(batches, zero_counts=False)
+    if structure_batches is not None:
+        _process(structure_batches, zero_counts=True)
     runs = host_runs
     if dstack.stack:
         runs = runs + [dstack.finish()]

@@ -20,7 +20,8 @@ from ..ops import extension as _ext
 
 def _count_auto(sequences, k1: int, batch_size: int,
                 timings: dict | None = None,
-                read_store=None) -> "_count.KmerCounts":
+                read_store=None,
+                structure_sequences=None) -> "_count.KmerCounts":
     """Count (k+1)-mers on the attached hardware: the multi-chip sharded
     counter (hash routing + all_to_all over ICI, `parallel/sharded_count`)
     when more than one device is visible, else the single-chip engine —
@@ -33,12 +34,26 @@ def _count_auto(sequences, k1: int, batch_size: int,
     except Exception:
         n_dev = 1
     if n_dev <= 1:
+        from ..core.reads import batch_iter, chop_sequences
+
+        structure = None
+        if structure_sequences:
+            # prev-K / trusted contigs join the SAME device merge with
+            # zeroed counts: one fused table replaces the separate count +
+            # host merge + host lookup of the two-pass path (the round-4
+            # extra_count_s cost)
+            structure = batch_iter(
+                chop_sequences(structure_sequences, k1), batch_size=batch_size
+            )
         if read_store is not None:
             # run-wide packed store: chunks already 2-bit packed and
             # device-uploaded once — skip the per-K re-encode entirely
-            return _count.count_reads(read_store.chunks, k1, timings=timings)
-        return _count.count_sequences(sequences, k1, batch_size=batch_size,
-                                      timings=timings)
+            return _count.count_reads(read_store.chunks, k1, timings=timings,
+                                      structure_batches=structure)
+        return _count.count_reads(
+            batch_iter(chop_sequences(sequences, k1), batch_size=batch_size),
+            k1, timings=timings, structure_batches=structure,
+        )
 
     from ..core.reads import batch_iter, chop_sequences
     from ..parallel.sharded_count import count_kmers_sharded, make_mesh
@@ -102,15 +117,24 @@ def construct_graph(
 
     if k % 2 == 0:
         raise ValueError("k must be odd")
+    import jax as _jax
+
     tm: dict = {}
-    p1 = _count_auto(sequences, k + 1, batch_size, timings=tm,
-                     read_store=read_store)
+    try:
+        _single_dev = len(_jax.devices()) <= 1
+    except Exception:  # noqa: BLE001
+        _single_dev = True
+    fused_structure = bool(extra_sequences) and min_count == 1 and _single_dev
+    p1 = _count_auto(
+        sequences, k + 1, batch_size, timings=tm, read_store=read_store,
+        structure_sequences=extra_sequences if fused_structure else None,
+    )
     if min_count > 1:
         t0 = time.perf_counter()
         keep = p1.counts >= min_count
         p1 = _count.KmerCounts(k=p1.k, words=p1.words[keep], counts=p1.counts[keep])
         tm["filter_s"] = round(time.perf_counter() - t0, 2)
-    if extra_sequences:
+    if extra_sequences and not fused_structure:
         # prev-K / trusted contigs contribute GRAPH STRUCTURE but not
         # coverage — the reference keeps them in separate streams "for not
         # counting it in coverage" (stages/construction.cpp:110,233): the

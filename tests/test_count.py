@@ -161,3 +161,31 @@ class TestDeviceRunStack:
     def test_empty_and_single_run(self):
         st = C.DeviceRunStack(21)
         assert st.finish().num_unique == 0
+
+
+def test_fused_structure_counting_matches_two_pass(rng, monkeypatch):
+    """Prev-K contigs counted into the same device merge with ZEROED counts
+    must give the identical (structure, coverage) table as the two-pass
+    count + host merge + lookup path (construction.cpp:110,233 semantics)."""
+    from spades_tpu.core.reads import batch_iter, chop_sequences
+
+    k1 = 22
+    reads = [random_dna(rng, 100) for _ in range(200)]
+    genome = random_dna(rng, 1500)
+    extras = [genome, random_dna(rng, 800)]
+
+    # two-pass oracle
+    p1 = C.count_reads(batch_iter(chop_sequences(reads, k1), batch_size=64), k1)
+    p_extra = C.count_sequences(extras, k1)
+    structure = C.merge_counts([p1, p_extra])
+    cov = np.zeros(structure.num_unique, np.int64)
+    rows = C.searchsorted_rows(structure.words, p1.words)
+    cov[rows] = p1.counts
+    # fused path (force device so the zeroed-count push is exercised)
+    monkeypatch.setenv("SPADES_HOST_COUNT_WINDOWS", "0")
+    fused = C.count_reads(
+        batch_iter(chop_sequences(reads, k1), batch_size=64), k1,
+        structure_batches=batch_iter(chop_sequences(extras, k1), batch_size=64),
+    )
+    assert np.array_equal(fused.words, structure.words)
+    assert np.array_equal(fused.counts, cov)
