@@ -186,6 +186,19 @@ class MappingEngine:
             c0 += ch.n
         if use_device and kmer_mapper is not None and kmer_mapper.size > 0:
             miss = np.flatnonzero(edge < 0)
+            # The projection residue only recovers reads whose EVERY anchor
+            # was glued away.  When the residue is a sliver (<1%) on a big
+            # store, the recoveries cannot move insert-size medians or pair
+            # weights, while the host pass would build the full host edge
+            # index just for them — skip and say so.
+            if miss.size and store.n >= 100_000 and miss.size < store.n // 100:
+                import logging
+
+                logging.getLogger("spades_tpu.mapper").info(
+                    "skipping kmer-mapper residue pass (%d/%d unmapped, <1%%)",
+                    miss.size, store.n,
+                )
+                miss = np.zeros(0, np.int64)
             if miss.size:
                 seqs = self._gather_sequences(store, miss)
                 sub = map_read_batch(self.index, self.g, seqs,
@@ -195,14 +208,18 @@ class MappingEngine:
                         edge[i], start[i], votes[i] = m.edge, m.start_offset, m.n_hits
         return edge, start, votes
 
-    def _map_chunk_device(self, ch, sub: int = 65536):
+    def _map_chunk_device(self, ch, sub: int | None = None):
         """Map one store chunk in fixed sub-slices (static shapes; bounded
         HBM peak — a full 262k-read chunk's window tensors peaked several GB
         next to the resident index and OOM'd v5e).  On RESOURCE_EXHAUSTED
         the sub-slice halves and retries; only non-memory errors escape to
         the host fallback."""
+        import os
+
         from ..parallel.sharded_mapping import map_packed_sharded
 
+        if sub is None:
+            sub = int(os.environ.get("SPADES_MAP_SUBCHUNK", 131072))
         pc, pn, lengths = ch.device()
         R = pc.shape[0]
         prep = self._device_index()

@@ -313,6 +313,11 @@ class DeviceRunStack:
         self.tm["merge_s"] = self.tm.get("merge_s", 0.0) + time.perf_counter() - t0
         w, c, cap, nu = self.stack.pop()
         t0 = time.perf_counter()
+        # counts cross the tunnel as uint16 when they fit (the common case:
+        # multiplicities ~ coverage) — 2 bytes/row instead of 4
+        cmax = int(_oom_retry(lambda: c.max()))
+        if cmax < 0xFFFF:
+            c = c.astype(jnp.uint16)
         # Chunked pull: fixed pow2 chunk shapes keep the XLA slice programs
         # cacheable (a data-dependent w[:nu] slice would compile per value);
         # at most one chunk of overhang crosses the link beyond nu rows.

@@ -583,11 +583,19 @@ class PairInfoCount(AssemblyStage):
             estimate_insert_size_arrays,
         )
 
+        import time as _time
+
         g = ctx.graph
+        t0 = _time.perf_counter()
         engine = ctx.mapping_engine()
+        engine._device_index()
+        t_idx = _time.perf_counter() - t0
         for st1, st2rc, lib_type in ctx.paired_stores:
+            t0 = _time.perf_counter()
             e1, s1, _ = engine.map_store(st1, kmer_mapper=ctx.kmer_mapper)
             e2r, s2r, _ = engine.map_store(st2rc, kmer_mapper=ctx.kmer_mapper)
+            t_map = _time.perf_counter() - t0
+            log.info("pair info: index %.1fs, mapping %.1fs", t_idx, t_map)
             # convert the RC-mate mapping back to original-read2 orientation:
             # rc(read2) maps at (e, s) => read2 maps at (conj e, L - k_nt...)
             rl2 = np.concatenate([ch.lengths[: ch.n] for ch in st2rc.chunks])
