@@ -223,16 +223,24 @@ class MappingEngine:
         pc, pn, lengths = ch.device()
         R = pc.shape[0]
         prep = self._device_index()
+        from ..parallel.sharded_mapping import map_packed_async
+
         while True:
             try:
-                outs = []
+                # two-phase: dispatch every sub-slice first (async), pull
+                # after — the device computes sub i+1 while sub i's results
+                # cross the high-latency tunnel
+                futs = []
                 for a in range(0, R, sub):
                     b = min(a + sub, R)
-                    n_rows = b - a
-                    outs.append(map_packed_sharded(
+                    futs.append((b - a, map_packed_async(
                         prep, self._k, pc[a:b], pn[a:b], lengths[a:b],
-                        ch.L, n_rows, self.mesh,
-                    ))
+                        ch.L, self.mesh,
+                    )))
+                outs = [
+                    (np.asarray(eo)[:n], np.asarray(so)[:n], np.asarray(vo)[:n])
+                    for n, (eo, so, vo) in futs
+                ]
                 break
             except Exception as exc:  # noqa: BLE001
                 if "RESOURCE_EXHAUSTED" in str(exc) and sub > 8192:

@@ -552,17 +552,39 @@ def hit_filter_store(store, tip_words: np.ndarray, k: int,
     tw[:U] = tip_words
     tw_d = jnp.asarray(tw)
     out = np.zeros(store.n, bool)
-    c0 = 0
+    # dispatch every sub-slice of every chunk first, pull afterwards: the
+    # device fills the tunnel-latency gaps with the next slice's work
+    futs = []
     for ch in store.chunks:
         pc, pn, lengths = ch.device()
         rows = pc.shape[0]
-        res = []
         for a in range(0, rows, sub):
             b = min(a + sub, rows)
-            pcs, pns, ls = pc[a:b], pn[a:b], lengths[a:b]
             fn = make_sharded_hitter(mesh, k, ch.L, axis)
-            res.append(np.asarray(fn(pcs, pns, ls, tw_d)))
-        hits = np.concatenate(res)[: ch.n]
-        out[c0 : c0 + ch.n] = hits
+            futs.append(fn(pc[a:b], pn[a:b], lengths[a:b], tw_d))
+    flat = np.concatenate([np.asarray(f) for f in futs]) if futs else np.zeros(0, bool)
+    c0 = 0
+    a = 0
+    for ch in store.chunks:
+        rows = ch.pc.shape[0]
+        out[c0 : c0 + ch.n] = flat[a : a + rows][: ch.n]
+        a += rows
         c0 += ch.n
     return out
+
+
+def map_packed_async(prep, k: int, pc, pn, lengths, L: int, mesh: Mesh):
+    """Dispatch one packed wire chunk against a prepared device index and
+    return DEVICE result arrays without blocking — callers queue several
+    sub-chunks and pull afterwards, so the device stays busy during the
+    (tunnel-latency-dominated) result transfers."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    rows = int(np.asarray(pc).shape[0] if not hasattr(pc, "shape") else pc.shape[0])
+    if rows % n_dev:
+        pad = (-rows) % n_dev
+        pc = np.pad(np.asarray(pc), ((0, pad), (0, 0)))
+        pn = np.pad(np.asarray(pn), ((0, pad), (0, 0)))
+        lengths = np.pad(np.asarray(lengths), (0, pad))
+    fn = make_sharded_mapper(mesh, k, L, axis)
+    return fn(jnp.asarray(pc), jnp.asarray(pn), jnp.asarray(lengths), *prep)
