@@ -163,6 +163,7 @@ class MappingEngine:
 
         thresh = int(os.environ.get("SPADES_DEVICE_MAP_READS", 200_000))
         use_device = force_device or store.n >= thresh
+        any_device = False
         edge = np.full(store.n, -1, np.int64)
         start = np.zeros(store.n, np.int64)
         votes = np.zeros(store.n, np.int64)
@@ -171,6 +172,7 @@ class MappingEngine:
             if use_device:
                 try:
                     e, s, v = self._map_chunk_device(ch)
+                    any_device = True
                 except Exception as exc:  # noqa: BLE001 — fall back to host
                     import logging
 
@@ -184,7 +186,9 @@ class MappingEngine:
             start[c0 : c0 + ch.n] = s[: ch.n]
             votes[c0 : c0 + ch.n] = v[: ch.n]
             c0 += ch.n
-        if use_device and kmer_mapper is not None and kmer_mapper.size > 0:
+        # any_device (not use_device): a mid-store host fallback must not
+        # skip the projection residue for the chunks that DID map on device
+        if any_device and kmer_mapper is not None and kmer_mapper.size > 0:
             miss = np.flatnonzero(edge < 0)
             # The projection residue only recovers reads whose EVERY anchor
             # was glued away.  When the residue is a sliver (<1%) on a big

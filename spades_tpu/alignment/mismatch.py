@@ -23,6 +23,14 @@ from .mapper import EdgeIndex, build_edge_index, map_read_batch
 log = logging.getLogger("spades_tpu.mismatch")
 
 
+class _KOnly:
+    """Minimal index stand-in when only `.k` is needed (sharded vote path
+    with a prepared device index)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+
 @dataclass
 class MismatchConfig:
     min_coverage: int = 2       # votes needed at a position to act
@@ -79,18 +87,30 @@ def correct_mismatches(g: CondensedGraph, reads: list[str] | None = None,
     cfg = MismatchConfig()
     if g.num_edges == 0 or not (reads or store):
         return 0
-    if engine is not None:
-        index = engine.index
-    else:
-        index = index or build_edge_index(g)
     if store is not None:
         from ..parallel.sharded_mapping import position_votes_sharded
 
-        prep = engine._device_index() if engine is not None else None
-        mesh = mesh or (engine.mesh if engine is not None else None)
-        votes = position_votes_sharded(index, g, mesh=mesh, store=store,
-                                       prep=prep)
+        # sharded path only needs k + the DEVICE index: touching
+        # engine.index here would force the host lexsort build AND flip
+        # _device_index onto the padded-upload branch (the exact costs
+        # build_index_device exists to avoid)
+        if engine is not None:
+            prep = engine._device_index()
+            mesh = mesh or engine.mesh
+            k = engine._k
+        else:
+            prep = None
+            index = index or build_edge_index(g)
+            k = index.k
+        votes = position_votes_sharded(
+            _KOnly(k) if index is None else index, g, mesh=mesh, store=store,
+            prep=prep,
+        )
     else:
+        if engine is not None:
+            index = engine.index
+        else:
+            index = index or build_edge_index(g)
         votes = position_votes(g, reads, index, cfg.batch_size)
 
     fixed = 0

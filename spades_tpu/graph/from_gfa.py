@@ -73,8 +73,8 @@ def graph_from_gfa(gg: GfaGraph, k: int) -> CondensedGraph:
                 f"GFA link {a}{o1} -> {b}{o2} has overlap {ov} != k={k}: "
                 "variable-overlap (multiplex) GFA is not representable in "
                 "the flat-k graph model — re-export the graph with uniform "
-                "k-1 overlaps (e.g. gfatools asm -u) or load at the "
-                "matching k",
+                f"{k}M overlaps or load at the k matching the L-line "
+                "overlaps",
                 ExitCode.INVALID_INPUT_FORMAT,
             )
         ea, eb = oid(a, o1), oid(b, o2)

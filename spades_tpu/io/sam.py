@@ -57,24 +57,28 @@ class SamRecord:
         return out
 
 
+def _parse_sam_lines(fh) -> Iterator[SamRecord]:
+    for line in fh:
+        if line.startswith("@") or not line.strip():
+            continue
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 11:
+            continue
+        tags = {}
+        for tag in f[11:]:
+            parts = tag.split(":", 2)
+            if len(parts) == 3:
+                tags[parts[0]] = parts[2]
+        yield SamRecord(
+            qname=f[0], flag=int(f[1]), rname=f[2], pos=int(f[3]),
+            mapq=int(f[4]), cigar=f[5], seq=f[9], tags=tags,
+        )
+
+
 def read_sam(path: str) -> Iterator[SamRecord]:
     """Iterate alignment records; header lines are skipped."""
     with open(path) as fh:
-        for line in fh:
-            if line.startswith("@") or not line.strip():
-                continue
-            f = line.rstrip("\n").split("\t")
-            if len(f) < 11:
-                continue
-            tags = {}
-            for tag in f[11:]:
-                parts = tag.split(":", 2)
-                if len(parts) == 3:
-                    tags[parts[0]] = parts[2]
-            yield SamRecord(
-                qname=f[0], flag=int(f[1]), rname=f[2], pos=int(f[3]),
-                mapq=int(f[4]), cigar=f[5], seq=f[9], tags=tags,
-            )
+        yield from _parse_sam_lines(fh)
 
 
 def write_sam(path: str, references: list[tuple[str, int]], records: list[SamRecord]) -> None:
@@ -248,11 +252,21 @@ def write_bam(path: str, references: list[tuple[str, int]],
 
 
 def read_alignments(path: str) -> Iterator[SamRecord]:
-    """Dispatch SAM text vs BAM by content (gzip/BAM magic), not extension —
-    the corrector's --sam input and binspreader alignments accept both."""
+    """Dispatch SAM text vs BAM by content, not extension — the corrector's
+    --sam input and binspreader alignments accept plain SAM, BAM, and
+    gzipped SAM text (.sam.gz): a gzip member is only BAM if the INFLATED
+    stream starts with the BAM magic."""
+    import gzip
+
     with open(path, "rb") as fh:
         head = fh.read(4)
     if head[:2] == b"\x1f\x8b":
-        yield from read_bam(path)
+        with gzip.open(path, "rb") as fh:
+            inner = fh.read(4)
+        if inner == b"BAM\x01":
+            yield from read_bam(path)
+        else:
+            with gzip.open(path, "rt") as fh:
+                yield from _parse_sam_lines(fh)
     else:
         yield from read_sam(path)

@@ -208,7 +208,6 @@ def estimate_insert_size_arrays(
     g: CondensedGraph,
     e1: np.ndarray, s1: np.ndarray,
     e2: np.ndarray, s2: np.ndarray,
-    rl2: np.ndarray | int,
 ) -> InsertSizeStats:
     """Vectorized `estimate_insert_size` over mapping arrays (edge == -1
     unmapped).  Same geometry: FR pairs whose mates land on the same oriented

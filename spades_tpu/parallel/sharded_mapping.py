@@ -560,9 +560,16 @@ def hit_filter_store(store, tip_words: np.ndarray, k: int,
         rows = pc.shape[0]
         for a in range(0, rows, sub):
             b = min(a + sub, rows)
+            pcs, pns, ls = pc[a:b], pn[a:b], lengths[a:b]
+            if (b - a) % n_dev:
+                pad = (-(b - a)) % n_dev
+                pcs = np.pad(np.asarray(pcs), ((0, pad), (0, 0)))
+                pns = np.pad(np.asarray(pns), ((0, pad), (0, 0)))
+                ls = np.pad(np.asarray(ls), (0, pad))
             fn = make_sharded_hitter(mesh, k, ch.L, axis)
-            futs.append(fn(pc[a:b], pn[a:b], lengths[a:b], tw_d))
-    flat = np.concatenate([np.asarray(f) for f in futs]) if futs else np.zeros(0, bool)
+            futs.append((b - a, fn(pcs, pns, ls, tw_d)))
+    flat = (np.concatenate([np.asarray(f)[:n] for n, f in futs])
+            if futs else np.zeros(0, bool))
     c0 = 0
     a = 0
     for ch in store.chunks:

@@ -137,10 +137,10 @@ def run_assembly(
                     )
                 return a == b
 
-            probe = list(range(0, len(reads), max(1, len(reads) // 64)))
-            if all(_same(reads[i], flat[i]) for i in probe) and (
-                not reads or _same(reads[-1], flat[-1])
-            ):
+            # exact check: a sampled probe could false-positive and
+            # silently count the wrong read set (identity short-circuits
+            # make the common lefts+rights case O(n) pointer compares)
+            if all(_same(a, b) for a, b in zip(reads, flat)):
                 chunks = []
                 for st1, st2rc, _ in paired_stores:
                     chunks.extend(st1.chunks)

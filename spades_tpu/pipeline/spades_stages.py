@@ -591,6 +591,9 @@ class PairInfoCount(AssemblyStage):
         engine._device_index()
         t_idx = _time.perf_counter() - t0
         for st1, st2rc, lib_type in ctx.paired_stores:
+            if st1.n == 0 or st2rc.n == 0:
+                log.info("%s library: empty — skipped", lib_type)
+                continue
             t0 = _time.perf_counter()
             e1, s1, _ = engine.map_store(st1, kmer_mapper=ctx.kmer_mapper)
             e2r, s2r, _ = engine.map_store(st2rc, kmer_mapper=ctx.kmer_mapper)
@@ -603,7 +606,7 @@ class PairInfoCount(AssemblyStage):
             e2 = np.where(ok2, np.asarray(g.e_conj)[np.maximum(e2r, 0)], -1)
             L2 = np.asarray(g.e_len)[np.maximum(e2, 0)]
             s2 = np.where(ok2, L2 - (s2r + rl2[: len(e2r)]), 0)
-            st = estimate_insert_size_arrays(g, e1, s1, e2, s2, rl2)
+            st = estimate_insert_size_arrays(g, e1, s1, e2, s2)
             log.info(
                 "%s library: %d pairs mapped, insert size %.1f +- %.1f (%d obs)",
                 lib_type, int((e1 >= 0).sum()), st.median, st.mad, st.count,

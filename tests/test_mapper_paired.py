@@ -140,7 +140,7 @@ class TestArrayBuilders:
         e2 = np.array([m.edge if m else -1 for m in m2], np.int64)
         s2 = np.array([m.start_offset if m else 0 for m in m2], np.int64)
         st_list = estimate_insert_size(g, m1, m2, [rl] * len(m1), [rl] * len(m2))
-        st_arr = estimate_insert_size_arrays(g, e1, s1, e2, s2, rl)
+        st_arr = estimate_insert_size_arrays(g, e1, s1, e2, s2)
         assert st_list.count == st_arr.count
         assert st_list.median == st_arr.median
         assert st_list.mad == st_arr.mad

@@ -121,3 +121,20 @@ class TestBam:
         assert [r.qname for r in rb] == [r.qname for r in rs] == ["r1", "r2", "u1"]
         assert rb[1].is_reverse and rs[1].is_reverse
         assert rb[2].is_unmapped
+
+    def test_gzipped_sam_text_dispatch(self, tmp_path):
+        """A gzipped SAM TEXT file must parse as SAM, not crash as BAM
+        (content dispatch checks the INFLATED magic)."""
+        import gzip
+
+        from spades_tpu.io.sam import read_alignments, write_sam
+
+        refs = [("e1", 100), ("e2", 50)]
+        recs = self._records()
+        sam = str(tmp_path / "b.sam")
+        write_sam(sam, refs, recs)
+        gz = str(tmp_path / "b.sam.gz")
+        with open(sam, "rb") as fi, gzip.open(gz, "wb") as fo:
+            fo.write(fi.read())
+        back = list(read_alignments(gz))
+        assert [r.qname for r in back] == ["r1", "r2", "u1"]
